@@ -1,0 +1,117 @@
+"""Offline MVTec -> SR-layout converter.
+
+Semantics parity with the reference prep tool
+(reference scripts/prepare_mvtec_data.py):
+- LANCZOS resize every image to the HR size; LR = HR // s LANCZOS downscale
+  (prepare_mvtec_data.py:22-33);
+- train/val split: RandomState(seed).shuffle, first ``val_ratio`` fraction is
+  val (min 1) (prepare_mvtec_data.py:70-75);
+- test: good -> test/good; every defect dir merged into test/bad with
+  ``{defect}_{name}.png`` names (prepare_mvtec_data.py:132-152);
+- progressive LR: always include LR_2; scale 8 additionally ensures LR_4
+  (prepare_mvtec_data.py:286-291).
+
+Output layout per class:
+    <target>/<classe>/{train,val}/good/{HR,LR_s}/*.png
+    <target>/<classe>/test/{good,bad}/{HR,LR_s}/*.png
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+from typing import Iterable, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+
+def resize_image(path: Path, target: Tuple[int, int]) -> Image.Image:
+    with Image.open(path) as img:
+        if img.mode != "RGB":
+            img = img.convert("RGB")
+        return img.resize(target, Image.LANCZOS)
+
+
+def lr_from_hr(hr: Image.Image, scale: int) -> Image.Image:
+    return hr.resize((hr.size[0] // scale, hr.size[1] // scale), Image.LANCZOS)
+
+
+def expand_scales(user_scales: Iterable[int]) -> Tuple[int, ...]:
+    """Progressive-LR rule: always LR_2; 8 implies 4 (prepare_mvtec_data.py:286-291)."""
+    scales = set(int(s) for s in user_scales)
+    scales.add(2)
+    if 8 in scales:
+        scales.add(4)
+    return tuple(sorted(scales))
+
+
+def _save_pairs(files: Sequence[Path], base: Path, scales: Sequence[int],
+                target_hr: Tuple[int, int], rename=None) -> None:
+    for f in files:
+        name = rename(f) if rename else f.name
+        hr = resize_image(f, target_hr)
+        hr_path = base / "HR" / name
+        hr_path.parent.mkdir(parents=True, exist_ok=True)
+        hr.save(hr_path)
+        for s in scales:
+            lr_path = base / f"LR_{s}" / name
+            lr_path.parent.mkdir(parents=True, exist_ok=True)
+            lr_from_hr(hr, s).save(lr_path)
+
+
+def prepare_mvtec_dataset(source_base: str = "data/mvtec",
+                          target_base: str = "data/mvtec_128",
+                          classes: Sequence[str] = ("carpet", "grid"),
+                          scale_factors: Sequence[int] = (2, 4),
+                          target_hr: Tuple[int, int] = (128, 128),
+                          val_ratio: float = 0.1, seed: int = 42,
+                          clean: bool = True) -> None:
+    src, dst = Path(source_base), Path(target_base)
+    if clean and dst.exists():
+        shutil.rmtree(dst)
+
+    for classe in classes:
+        train_src = src / classe / "train" / "good"
+        test_src = src / classe / "test"
+
+        if train_src.exists():
+            files = sorted(train_src.glob("*.png"))
+            files = list(files)
+            rng = np.random.RandomState(seed)
+            rng.shuffle(files)
+            val_size = int(len(files) * float(val_ratio))
+            if len(files) > 1 and val_ratio > 0:
+                val_size = max(1, val_size)
+            val_files, train_files = files[:val_size], files[val_size:]
+            _save_pairs(train_files, dst / classe / "train" / "good",
+                        scale_factors, target_hr)
+            _save_pairs(val_files, dst / classe / "val" / "good",
+                        scale_factors, target_hr)
+
+        if test_src.exists():
+            good = sorted((test_src / "good").glob("*.png")) \
+                if (test_src / "good").exists() else []
+            _save_pairs(good, dst / classe / "test" / "good",
+                        scale_factors, target_hr)
+            defect_dirs = sorted(d for d in test_src.iterdir()
+                                 if d.is_dir() and d.name != "good")
+            for d in defect_dirs:
+                _save_pairs(sorted(d.glob("*.png")),
+                            dst / classe / "test" / "bad",
+                            scale_factors, target_hr,
+                            rename=lambda f, dn=d.name: f"{dn}_{f.name}")
+
+
+def verify_dataset_structure(base_dir: str,
+                             classes: Sequence[str] = ("carpet", "grid")) -> dict:
+    """Count images per split; returns {classe: {split: count}}."""
+    base = Path(base_dir)
+    report = {}
+    for classe in classes:
+        counts = {}
+        for split in ("train/good", "val/good", "test/good", "test/bad"):
+            hr = base / classe / split / "HR"
+            counts[split] = len(list(hr.glob("*.png"))) if hr.exists() else 0
+        report[classe] = counts
+    return report

@@ -1,0 +1,17 @@
+"""Test configuration: force CPU backend with 8 virtual devices.
+
+Multi-chip sharding tests run against a virtual 8-device CPU mesh
+(xla_force_host_platform_device_count), as real multi-chip TPU hardware is not
+available in CI. The environment pins JAX_PLATFORMS=axon (TPU tunnel), so the
+platform must be overridden through jax.config before any backend init.
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
