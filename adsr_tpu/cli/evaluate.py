@@ -1,0 +1,114 @@
+"""Evaluation entry point (reference src/evaluate.py:20-45, 270-344 parity).
+
+    python -m adsr_tpu.cli.evaluate --run-dir workspace/experiment/drct/mvtec_grid_128_X4...
+
+Infers model/class/resolution/scale from the run dir (name pattern then
+config.txt), resolves best->latest checkpoint, and runs the anomaly AUC pass
+over test/good + test/bad.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import List, Optional
+
+import jax
+
+
+def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--config", type=str, default=None)
+    pre_args, _ = pre.parse_known_args(argv)
+
+    p = argparse.ArgumentParser(description="Evaluation entrypoint",
+                                parents=[pre])
+    p.add_argument("--model-type", type=str, default="drct",
+                   choices=["drct", "drn-l"])
+    p.add_argument("--dataset", type=str, default="mvtec", choices=["mvtec"])
+    p.add_argument("--classe", type=str, default="grid")
+    p.add_argument("--scale", type=int, default=4)
+    p.add_argument("--resolution", type=int, default=128)
+    p.add_argument("--device", type=str, default="auto",
+                   choices=["auto", "tpu", "cpu"])
+    p.add_argument("--data-root", type=str, default="auto")
+    p.add_argument("--run-dir", type=str, default="")
+    p.add_argument("--checkpoint", type=str, default="")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--output-dir", type=str, default="")
+    p.add_argument("--save-images", action="store_true", default=True)
+    p.add_argument("--no-save-images", dest="save_images",
+                   action="store_false")
+    p.add_argument("--json-out", type=str, default="")
+    p.add_argument("--precision", type=str, default="fp32",
+                   choices=["bf16", "fp32"])
+    p.add_argument("--workers", type=int, default=0)  # compat; unused
+
+    if pre_args.config and os.path.isfile(pre_args.config):
+        import yaml
+        with open(pre_args.config) as f:
+            cfg = yaml.safe_load(f) or {}
+        p.set_defaults(**{k.replace("-", "_"): v for k, v in cfg.items()})
+    return p.parse_args(argv)
+
+
+def main(argv: Optional[List[str]] = None):
+    args = parse_args(argv)
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    from adsr_tpu.core.config import drct_experiment, drn_experiment
+    from adsr_tpu.eval.evaluate import evaluate_anomaly
+    from adsr_tpu.eval.rundir import infer_from_run_dir, resolve_checkpoint
+    from adsr_tpu.io.journal import load_params
+    from adsr_tpu.models.factory import init_sr_params
+
+    model_type, ds = args.model_type, args.dataset
+    classe, resolution, scale = args.classe, args.resolution, args.scale
+
+    inf = {}
+    if args.run_dir:
+        inf = infer_from_run_dir(args.run_dir)
+        model_type = inf.get("model_type") or model_type
+        ds = inf.get("dataset") or ds
+        classe = inf.get("classe") or classe
+        resolution = inf.get("resolution") or resolution
+        scale = inf.get("scale") or scale
+
+    data_root = args.data_root
+    if data_root == "auto":
+        data_root = f"data/mvtec_{resolution}"
+
+    if model_type == "drn-l":
+        exp = drn_experiment(classe=classe, resolution=resolution,
+                             scale=scale, data_root=data_root,
+                             precision=args.precision)
+    else:
+        capacity = {k: inf[k] for k in ("embed_dim", "num_layers",
+                                        "num_heads", "gc") if k in inf}
+        exp = drct_experiment(classe=classe, resolution=resolution,
+                              scale=scale, data_root=data_root,
+                              precision=args.precision, **capacity)
+
+    ckpt = resolve_checkpoint(args.run_dir, args.checkpoint)
+    primal_template, _ = init_sr_params(exp.model, jax.random.key(0),
+                                        exp.precision)
+    params = load_params(ckpt, primal_template)
+
+    out_dir = (args.output_dir or
+               (os.path.join(args.run_dir, "eval_results") if args.run_dir
+                else "./workspace/eval_results"))
+
+    result = evaluate_anomaly(exp, params, data_root, classe,
+                              out_dir=out_dir, save_images=args.save_images,
+                              batch=args.batch_size)
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(result, f)
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,156 @@
+"""Anomaly evaluation: SR reconstruction error -> ROC-AUC.
+
+Single compiled pipeline per batch (reference runs this image-by-image on
+host numpy — src/evaluate.py:204-267): forward -> crop -> uint8 round-trip ->
+per-image SSIM/MSE/PSNR on device, batched over the whole test set. The SSIM
+window-size sweep (odd sizes ``range(3, min_dim-3, 10)``, pick the
+AUC-maximising window — evaluate.py:233-248) evaluates every window size on
+device from the same image arrays; only the tiny AUC rank computation runs on
+host.
+
+Score conventions (evaluate.py:250-267): anomaly score = 1 - SSIM, MSE, and
+-PSNR on [0,1] uint8-quantised images, with the reference's truncating (not
+rounding) byte conversion reproduced.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from adsr_tpu.core.config import Experiment
+from adsr_tpu.data.pipeline import SRDataset, load_sr_dataset
+from adsr_tpu.eval.auc import roc_auc
+from adsr_tpu.metrics import mse_eval, psnr_eval, ssim_eval
+from adsr_tpu.train.trainer import make_eval_forward
+
+
+def _forward_split(exp: Experiment, params, ds: SRDataset, batch: int = 8
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """Run SR over a split; returns (sr_u8, hr_u8) as [N,H,W,C] uint8."""
+    forward = make_eval_forward(exp)
+    lr = ds.lrs[0]
+    n = lr.shape[0]
+    outs = []
+    for i in range(0, n, batch):
+        chunk = lr[i:i + batch]
+        pad = batch - chunk.shape[0]
+        if pad:
+            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
+        sr = np.asarray(forward(params, jnp.asarray(chunk)))
+        outs.append(sr[:sr.shape[0] - pad] if pad else sr)
+    sr = np.concatenate(outs)
+    h, w = ds.hr.shape[1], ds.hr.shape[2]
+    sr = sr[:, :h, :w, :]
+    # truncating byte conversion, as the reference's .byte() (evaluate.py:214)
+    scale = 255.0 / exp.data.rgb_range
+    sr_u8 = np.clip(sr * scale, 0, 255).astype(np.uint8)
+    hr_u8 = np.clip(ds.hr * scale, 0, 255).astype(np.uint8)
+    return sr_u8, hr_u8
+
+
+def window_size_candidates(min_dim: int) -> List[int]:
+    """Odd sizes 3, 13, 23, ... up to min_dim-3 (evaluate.py:233-236)."""
+    max_w = max(3, min_dim - 3)
+    return [w for w in range(3, max_w + 1, 10) if w % 2 == 1] or [3]
+
+
+def sweep_best_window(sr_u8: np.ndarray, hr_u8: np.ndarray,
+                      y_true: Sequence[int],
+                      window_sizes: Optional[Sequence[int]] = None
+                      ) -> Tuple[int, float, Dict[int, np.ndarray]]:
+    """Device-batched SSIM at every window size; AUC per size on host."""
+    if window_sizes is None:
+        window_sizes = window_size_candidates(min(hr_u8.shape[1], hr_u8.shape[2]))
+    hr = jnp.asarray(hr_u8.astype(np.float32) / 255.0)
+    sr = jnp.asarray(sr_u8.astype(np.float32) / 255.0)
+    best_ws, best_auc = window_sizes[0], -1.0
+    per_ws: Dict[int, np.ndarray] = {}
+    for ws in window_sizes:
+        scores = 1.0 - np.asarray(ssim_eval(hr, sr, ws))
+        per_ws[ws] = scores
+        auc = roc_auc(y_true, scores)
+        if auc > best_auc:
+            best_auc, best_ws = auc, ws
+    return best_ws, best_auc, per_ws
+
+
+def evaluate_anomaly(exp: Experiment, params, data_root: str,
+                     classe: str, out_dir: Optional[str] = None,
+                     save_images: bool = True, batch: int = 8,
+                     log=print) -> Dict[str, object]:
+    """Full anomaly pass over test/good + test/bad (evaluate.py:138-267)."""
+    scale = max(exp.data.scale)
+
+    def load(split: str) -> SRDataset:
+        return load_sr_dataset(f"{data_root}/{classe}/test/{split}",
+                               (scale,), exp.data.n_colors,
+                               exp.data.rgb_range)
+
+    ds_good, ds_bad = load("good"), load("bad")
+
+    sr_g, hr_g = _forward_split(exp, params, ds_good, batch)
+    sr_b, hr_b = _forward_split(exp, params, ds_bad, batch)
+    sr_u8 = np.concatenate([sr_g, sr_b])
+    hr_u8 = np.concatenate([hr_g, hr_b])
+    y_true = [0] * len(sr_g) + [1] * len(sr_b)
+    filenames = ds_good.filenames + ds_bad.filenames
+    splits = ["good"] * len(sr_g) + ["bad"] * len(sr_b)
+
+    if save_images and out_dir:
+        from PIL import Image
+        for img, name, split in zip(sr_u8, filenames, splits):
+            d = Path(out_dir) / split / f"x{scale}"
+            d.mkdir(parents=True, exist_ok=True)
+            arr = img[:, :, 0] if img.shape[2] == 1 else img
+            Image.fromarray(arr).save(d / f"{name}.png")
+
+    if len(set(y_true)) < 2:
+        log("Test set lacks both classes; AUC not available")
+        return {"error": "single-class"}
+
+    best_ws, _, per_ws = sweep_best_window(sr_u8, hr_u8, y_true)
+
+    hr_f = jnp.asarray(hr_u8.astype(np.float32) / 255.0)
+    sr_f = jnp.asarray(sr_u8.astype(np.float32) / 255.0)
+    scores_ssim = per_ws[best_ws]
+    scores_mse = np.asarray(mse_eval(sr_f, hr_f))
+    scores_psnr = np.asarray(psnr_eval(hr_f, sr_f))
+
+    auc_ssim = roc_auc(y_true, scores_ssim)
+    auc_mse = roc_auc(y_true, scores_mse)
+    auc_psnr = roc_auc(y_true, [-p for p in scores_psnr])
+
+    log(f"Test AUCs - SSIM(best ws={best_ws}): {auc_ssim:.4f}, "
+        f"MSE: {auc_mse:.4f}, PSNR: {auc_psnr:.4f}")
+
+    return {
+        "auc_ssim": auc_ssim, "auc_mse": auc_mse, "auc_psnr": auc_psnr,
+        "best_ws": best_ws, "y_true": y_true,
+        "scores_ssim": scores_ssim.tolist(),
+        "scores_mse": scores_mse.tolist(),
+        "scores_psnr": scores_psnr.tolist(),
+        "filenames": filenames, "splits": splits,
+    }
+
+
+def grouped_max_scores(filenames: Sequence[str], scores: Sequence[float],
+                       y_true: Sequence[int], group_div: int = 14
+                       ) -> Tuple[List[int], List[float]]:
+    """Patch-grouped scoring: group by int(name.split('_')[0]) // group_div and
+    take the max patch score per physical part (src/helpers.py:232-319)."""
+    groups: Dict[Tuple[int, int], float] = {}
+    for name, score, label in zip(filenames, scores, y_true):
+        try:
+            gid = int(name.split("_")[0]) // group_div
+        except ValueError:
+            gid = hash(name.split("_")[0]) % (2 ** 31)
+        key = (gid, label)
+        groups[key] = max(groups.get(key, -np.inf), float(score))
+    labels = [k[1] for k in groups]
+    return labels, [groups[k] for k in groups]

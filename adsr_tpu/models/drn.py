@@ -54,7 +54,11 @@ class DRN(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> List[jnp.ndarray]:
+    def __call__(self, x: jnp.ndarray,
+                 deterministic: bool = True) -> List[jnp.ndarray]:
+        # `deterministic` keeps the model interface uniform; DRN has no
+        # stochastic layers (the reference trains it without dropout).
+        del deterministic
         cfg = self.cfg
         phase = len(cfg.scale)
         f = cfg.n_feats

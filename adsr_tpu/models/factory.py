@@ -1,0 +1,57 @@
+"""Model factory (reference src/model.py:46-52) + parameter initialisation."""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from adsr_tpu.core.config import (
+    DRCTModelConfig, DRNModelConfig, EfficientADModelConfig, ModelConfig,
+)
+from adsr_tpu.models.drct import DRCT
+from adsr_tpu.models.drn import DRN, DownBlock, make_dual_models
+
+
+def compute_dtype(precision: str):
+    return jnp.bfloat16 if precision == "bf16" else jnp.float32
+
+
+def make_model(cfg: ModelConfig, precision: str = "fp32"):
+    dtype = compute_dtype(precision)
+    if isinstance(cfg, DRCTModelConfig):
+        return DRCT(cfg, dtype=dtype)
+    if isinstance(cfg, DRNModelConfig):
+        return DRN(cfg, dtype=dtype)
+    raise ValueError(f"no model for config {type(cfg).__name__}")
+
+
+def init_sr_params(cfg: ModelConfig, key: jax.Array, precision: str = "fp32"
+                   ) -> Tuple[Any, Any]:
+    """Initialise primal (and DRN dual) parameters with dummy LR input.
+
+    Returns (model_params, dual_params_tuple_or_None).
+    """
+    model = make_model(cfg, precision)
+    if isinstance(cfg, DRCTModelConfig):
+        lr = jnp.zeros((1, cfg.img_size, cfg.img_size, cfg.in_chans))
+        variables = model.init({"params": key}, lr)
+        return variables["params"], None
+
+    assert isinstance(cfg, DRNModelConfig)
+    # smallest LR input: HR/max_scale; use a tiny spatial extent for tracing
+    base = 2 * cfg.max_scale
+    lr = jnp.zeros((1, base // cfg.max_scale, base // cfg.max_scale,
+                    cfg.n_colors))
+    variables = model.init({"params": key}, lr)
+    duals = make_dual_models(cfg)
+    dual_params = []
+    phase = len(cfg.scale)
+    for i, dual in enumerate(duals):
+        # dual i consumes sr[i - n_duals]: spatial size base / 2^(n_duals-1-i)
+        s = base // 2 ** (phase - 1 - i)
+        dkey = jax.random.fold_in(key, i + 1)
+        dv = dual.init({"params": dkey}, jnp.zeros((1, s, s, cfg.n_colors)))
+        dual_params.append(dv["params"])
+    return variables["params"], tuple(dual_params)

@@ -1,0 +1,98 @@
+"""Data/tensor-parallel execution over a jax Mesh — the distributed backend
+the reference entirely lacks (SURVEY.md section 2.9: no DDP/FSDP/TP anywhere).
+
+Design (GSPMD "computation follows data"):
+- the batch is dp-sharded on its leading axis; with replicated parameters XLA
+  derives a gradient all-reduce over the ``dp`` axis on ICI — numerically the
+  single-stream train step at world_size=1 (same loss curves);
+- DRCT's attention/MLP weights optionally tp-shard megatron-style:
+  column-parallel qkv / fc1 (output dim over 'tp'), row-parallel attn-proj /
+  fc2 (input dim over 'tp'); XLA inserts the matching all-reduces;
+- optimizer moments inherit parameter shardings by construction
+  (``optimizer.init`` of sharded params), so no separate opt-state spec.
+
+The same jitted step runs unchanged on 1 chip, an ICI slice, or (with an outer
+mesh axis) multi-host DCN.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from adsr_tpu.core.config import Experiment
+from adsr_tpu.core.mesh import batch_sharding, make_mesh
+from adsr_tpu.train.trainer import TrainState, TrainStepBundle, make_train_step
+
+# column-parallel (shard output features), row-parallel (shard input features)
+_COL_RE = re.compile(r"(qkv|fc1)/kernel$")
+_ROW_RE = re.compile(r"(attn/proj|fc2)/kernel$")
+_COL_BIAS_RE = re.compile(r"(qkv|fc1)/bias$")
+
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(p, "key", p)) for p in path)
+
+
+def param_shardings(params: Any, mesh: Mesh) -> Any:
+    """PartitionSpec tree for params: tp on DRCT attention/MLP, else replicated."""
+    tp = mesh.shape["tp"]
+
+    def spec(path, leaf) -> NamedSharding:
+        name = _path_str(path)
+        if tp > 1 and leaf.ndim >= 1:
+            if _COL_RE.search(name) and leaf.shape[-1] % tp == 0:
+                return NamedSharding(
+                    mesh, P(*([None] * (leaf.ndim - 1)), "tp"))
+            if _ROW_RE.search(name) and leaf.shape[0] % tp == 0:
+                return NamedSharding(
+                    mesh, P("tp", *([None] * (leaf.ndim - 1))))
+            if _COL_BIAS_RE.search(name) and leaf.shape[-1] % tp == 0:
+                return NamedSharding(mesh, P("tp"))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def shard_train_state(state: TrainState, bundle: TrainStepBundle,
+                      mesh: Mesh) -> TrainState:
+    """Place params per the tp/dp rules; rebuild optimizer state on the sharded
+    params so the moments inherit identical layouts."""
+    shardings = param_shardings(state.params, mesh)
+    params = jax.tree_util.tree_map(jax.device_put, state.params, shardings)
+    opt_state = bundle.optimizer.init(params)
+    step = jax.device_put(state.step, NamedSharding(mesh, P()))
+    return TrainState(step=step, params=params, opt_state=opt_state)
+
+
+class ParallelTrainer:
+    """Minimal driver wrapping a sharded TrainState + dp-sharded batches."""
+
+    def __init__(self, exp: Experiment, mesh: Optional[Mesh] = None,
+                 key: Optional[jax.Array] = None):
+        self.exp = exp
+        self.mesh = mesh if mesh is not None else make_mesh(exp.mesh)
+        self.bundle = make_train_step(exp)
+        key = key if key is not None else jax.random.key(exp.seed)
+        state = self.bundle.init_state(key)
+        self.state = shard_train_state(state, self.bundle, self.mesh)
+        self._batch_sharding = batch_sharding(self.mesh)
+
+    def shard_batch(self, lrs, hr):
+        put = lambda x: jax.device_put(x, self._batch_sharding)
+        return [put(l) for l in lrs], put(hr)
+
+    def step(self, lrs, hr, lr_rate: float, rng: jax.Array):
+        lrs, hr = self.shard_batch(lrs, hr)
+        self.state, metrics = self.bundle.step(self.state, lrs, hr,
+                                               lr_rate, rng)
+        return metrics
+
+
+def make_parallel_trainer(exp: Experiment,
+                          mesh: Optional[Mesh] = None) -> ParallelTrainer:
+    return ParallelTrainer(exp, mesh)

