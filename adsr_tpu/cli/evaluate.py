@@ -56,6 +56,8 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
 
 def main(argv: Optional[List[str]] = None):
     args = parse_args(argv)
+    from adsr_tpu.core.runtime import setup_compilation_cache
+    setup_compilation_cache()
     if args.device == "cpu":
         jax.config.update("jax_platforms", "cpu")
 

@@ -163,6 +163,8 @@ def _device_summary() -> str:
 
 def main(argv: Optional[List[str]] = None) -> None:
     args = parse_args(argv)
+    from adsr_tpu.core.runtime import setup_compilation_cache
+    setup_compilation_cache()
     if args.device == "cpu":
         import jax
         jax.config.update("jax_platforms", "cpu")

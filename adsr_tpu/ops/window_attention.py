@@ -40,8 +40,11 @@ def window_attention_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 
 def _use_pallas() -> bool:
-    if os.environ.get("ADSR_TPU_PALLAS", "1") == "0":
+    flag = os.environ.get("ADSR_TPU_PALLAS", "1")
+    if flag == "0":
         return False
+    if flag == "force":  # interpret-mode parity testing on CPU
+        return True
     return jax.default_backend() not in ("cpu",)
 
 

@@ -31,7 +31,10 @@ ITERS = 20
 
 def main() -> None:
     from adsr_tpu.core.config import drct_experiment
+    from adsr_tpu.core.runtime import setup_compilation_cache
     from adsr_tpu.models.factory import init_sr_params, make_model
+
+    setup_compilation_cache()
 
     exp = drct_experiment(classe="grid", resolution=128, scale=4,
                           precision="bf16")

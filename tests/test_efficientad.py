@@ -1,0 +1,79 @@
+"""EfficientAD pipeline tests (tiny/few-step, CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from adsr_tpu.train.efficientad import (
+    EADConfig, EarlyStopping, EfficientADTrainer, color_jitter_ae,
+    final_metrics, normalize_imagenet,
+)
+
+
+class TestJitter:
+    def test_preserves_shape_and_range(self):
+        x = jnp.asarray(np.random.RandomState(0).rand(4, 16, 16, 3),
+                        jnp.float32)
+        y = color_jitter_ae(x, jax.random.key(0))
+        assert y.shape == x.shape
+        assert float(y.min()) >= 0.0 and float(y.max()) <= 1.0
+
+    def test_changes_image(self):
+        x = jnp.asarray(np.random.RandomState(0).rand(4, 16, 16, 3),
+                        jnp.float32)
+        y = color_jitter_ae(x, jax.random.key(1))
+        assert not np.allclose(np.asarray(x), np.asarray(y))
+
+    def test_normalize(self):
+        x = jnp.full((1, 2, 2, 3), 0.5)
+        y = np.asarray(normalize_imagenet(x))
+        want = (0.5 - np.array([0.485, 0.456, 0.406])) / np.array(
+            [0.229, 0.224, 0.225])
+        np.testing.assert_allclose(y[0, 0, 0], want, atol=1e-6)
+
+
+class TestEarlyStopping:
+    def test_plateau_stops(self):
+        s = EarlyStopping(patience=3, min_delta=0.01, best_auc=0.98)
+        assert not s.should_stop(0.99)
+        assert not s.should_stop(0.975)
+        assert s.should_stop(0.99)  # third consecutive >= 0.97
+
+    def test_low_auc_resets(self):
+        s = EarlyStopping(patience=2, min_delta=0.01, best_auc=0.98)
+        assert not s.should_stop(0.99)
+        assert not s.should_stop(0.5)   # reset
+        assert not s.should_stop(0.99)
+        assert s.should_stop(0.99)
+
+
+class TestFinalMetrics:
+    def test_perfect_classifier(self):
+        fm = final_metrics([0, 0, 1, 1], [0.1, 0.2, 0.8, 0.9])
+        assert fm["accuracy"] == 1.0
+        assert fm["precision"] == 1.0 and fm["recall"] == 1.0
+        assert fm["f1"] == pytest.approx(1.0)
+
+
+@pytest.mark.slow
+class TestTrainerEndToEnd:
+    def test_steps_and_scoring(self):
+        cfg = EADConfig(train_steps=2, batch_size=1, model_size="small",
+                        image_size=256, out_channels=32)
+        tr = EfficientADTrainer(cfg, log=lambda *_: None)
+        rng = np.random.RandomState(0)
+        imgs = rng.rand(2, 256, 256, 3).astype(np.float32)
+        tr.teacher_normalization(imgs, batch=1)
+        assert np.all(np.isfinite(np.asarray(tr.teacher_std)))
+        m = tr.train_step(jnp.asarray(imgs[:1]), jnp.asarray(imgs[:1]),
+                          jax.random.key(0))
+        assert np.isfinite(m["total"])
+        q = tr.map_normalization(imgs, batch=1)
+        assert q[0] <= q[1] and q[2] <= q[3]
+        test_imgs = rng.rand(4, 256, 256, 3).astype(np.float32)
+        labels = ["good", "good", "crack", "crack"]
+        auc, y_true, y_score = tr.test_auc(test_imgs, labels, q)
+        assert 0.0 <= auc <= 1.0
+        assert y_true == [0, 0, 1, 1]
