@@ -1,0 +1,74 @@
+"""Convert reference PyTorch checkpoints to msgpack params.
+
+    python -m adsr_tpu.cli.convert --model-type drct \
+        --torch-ckpt net_g_latest.pth --out drct_latest.msgpack \
+        --resolution 128 --scale 4 --classe grid
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="torch -> adsr_tpu checkpoint")
+    p.add_argument("--model-type", choices=["drct", "drn-l"], required=True)
+    p.add_argument("--torch-ckpt", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--classe", default="grid")
+    p.add_argument("--resolution", type=int, default=128)
+    p.add_argument("--scale", type=int, default=4)
+    p.add_argument("--verify", action="store_true",
+                   help="check converted tree matches the model param tree")
+    args = p.parse_args(argv)
+
+    import numpy as np
+    import torch
+
+    from adsr_tpu.io.journal import save_params
+    from adsr_tpu.io.torch_convert import convert_drct, convert_drn
+
+    sd = torch.load(args.torch_ckpt, map_location="cpu", weights_only=True)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    sd = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+          for k, v in sd.items()}
+
+    if args.model_type == "drct":
+        params = convert_drct(sd)
+    else:
+        from adsr_tpu.core.config import drn_experiment
+        exp = drn_experiment(classe=args.classe, resolution=args.resolution,
+                             scale=args.scale)
+        params = convert_drn(sd, phase=len(exp.model.scale),
+                             n_blocks=exp.model.n_blocks)
+
+    if args.verify:
+        import jax
+        from adsr_tpu.core.config import drct_experiment, drn_experiment
+        from adsr_tpu.models.factory import init_sr_params
+        build = drct_experiment if args.model_type == "drct" else drn_experiment
+        exp = build(classe=args.classe, resolution=args.resolution,
+                    scale=args.scale)
+        template, _ = init_sr_params(exp.model, jax.random.key(0))
+        tmpl_paths = {"/".join(str(getattr(k, "key", k)) for k in path):
+                      leaf.shape for path, leaf in
+                      jax.tree_util.tree_flatten_with_path(template)[0]}
+        got_paths = {"/".join(str(getattr(k, "key", k)) for k in path):
+                     leaf.shape for path, leaf in
+                     jax.tree_util.tree_flatten_with_path(params)[0]}
+        missing = sorted(set(tmpl_paths) - set(got_paths))
+        extra = sorted(set(got_paths) - set(tmpl_paths))
+        shape_bad = sorted(k for k in set(tmpl_paths) & set(got_paths)
+                           if tuple(tmpl_paths[k]) != tuple(got_paths[k]))
+        if missing or extra or shape_bad:
+            raise SystemExit(f"verify failed:\n missing={missing[:10]}\n "
+                             f"extra={extra[:10]}\n shapes={shape_bad[:10]}")
+        print("verify ok: tree structure and shapes match")
+
+    save_params(args.out, params)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

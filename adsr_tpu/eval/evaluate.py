@@ -129,7 +129,16 @@ def evaluate_anomaly(exp: Experiment, params, data_root: str,
     log(f"Test AUCs - SSIM(best ws={best_ws}): {auc_ssim:.4f}, "
         f"MSE: {auc_mse:.4f}, PSNR: {auc_psnr:.4f}")
 
+    # specificity at the perfect-recall threshold (recall_1.py:419-435)
+    from adsr_tpu.eval.disk import specificity_report
+    spec = specificity_report(y_true, {
+        "ssim": list(map(float, scores_ssim)),
+        "mse": list(map(float, scores_mse)),
+        "psnr": [-float(p) for p in scores_psnr],
+    })
+
     return {
+        "specificity": spec,
         "auc_ssim": auc_ssim, "auc_mse": auc_mse, "auc_psnr": auc_psnr,
         "best_ws": best_ws, "y_true": y_true,
         "scores_ssim": scores_ssim.tolist(),

@@ -45,23 +45,38 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, a_ref, o_ref, *, g: int, n: int):
-    """One program: G windows x one head. Blocks:
-    q/k/v [G*N, hd_p]; a [G, N, N] additive term; o [G*N, hd_p]."""
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # [G*N, G*N]
-    s4 = s.reshape(g, n, g, n)
-    eye = jnp.eye(g, dtype=s.dtype)[:, None, :, None]
-    add = a_ref[:, 0]                                        # [G, N, N]
-    s4 = s4 + eye * add[:, :, None, :] + (1.0 - eye) * (-1e30)
-    s = s4.reshape(g * n, g * n)
-    s = s - jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
-    o_ref[0, 0] = jnp.dot(p.astype(v.dtype), v,
-                          preferred_element_type=jnp.float32).astype(o_ref.dtype)
+def _attn_kernel(q_ref, k_ref, v_ref, a_ref, o_ref, *, p: int, gn: int,
+                 shared_a: bool):
+    """One program: P window-groups x one head, statically unrolled.
+
+    Blocks: q/k/v/o [1, 1, P*G*N, hd_p]; a [P or 1, 1, G*N, G*N] block-diag
+    additive. Pure 2-D ops only (Mosaic rejects in-kernel 4-D reshapes)."""
+    for j in range(p):
+        sl = slice(j * gn, (j + 1) * gn)
+        q = q_ref[0, 0, sl, :]
+        k = k_ref[0, 0, sl, :]
+        v = v_ref[0, 0, sl, :]
+        a = a_ref[0 if shared_a else j, 0]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) + a
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        w = jnp.exp(s)
+        w = w / jnp.sum(w, axis=-1, keepdims=True)
+        o_ref[0, 0, sl, :] = jnp.dot(
+            w.astype(v.dtype), v,
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _block_diag_additive(a: jnp.ndarray, g: int) -> jnp.ndarray:
+    """[W, nh, N, N] per-window additive -> [W//G, nh, G*N, G*N] block-diag
+    group matrices with -1e30 off-diagonal (forces per-window softmax)."""
+    w, nh, n, _ = a.shape
+    wg = w // g
+    a_r = a.reshape(wg, g, nh, n, n)
+    out = jnp.full((wg, nh, g * n, g * n), -1e30, dtype=jnp.float32)
+    for i in range(g):
+        out = out.at[:, :, i * n:(i + 1) * n, i * n:(i + 1) * n].set(
+            a_r[:, i].astype(jnp.float32))
+    return out
 
 
 def _forward(q, k, v, bias, mask):
@@ -90,34 +105,49 @@ def _forward(q, k, v, bias, mask):
 
     qg, kg, vg = group(qp), group(kp), group(vp)
 
-    # additive term per (window-pattern, head): [W, nh, N, N]
+    # additive term per (window-pattern group, head): [W//G, nh, G*N, G*N]
+    n_groups = b // g
     if mask is not None:
         a = bias[None].astype(jnp.float32) + mask[:, None].astype(jnp.float32)
-        w_groups = nw // g
-
-        def a_index(i, h):
-            return ((i % w_groups) * g, h, 0, 0)
+        ag = _block_diag_additive(a, g)          # [w_groups, nh, G*N, G*N]
+        p_groups = nw // g                       # one image's groups / program
+        shared_a = p_groups == 1
     else:
-        a = jnp.broadcast_to(bias[None].astype(jnp.float32),
-                             (g, nh, n, n))
+        a = jnp.broadcast_to(bias[None].astype(jnp.float32), (g, nh, n, n))
+        ag = _block_diag_additive(a, g)          # [1, nh, G*N, G*N]
+        p_groups = 1
+        for cand in (8, 4, 2):                   # batch groups per program
+            if n_groups % cand == 0:
+                p_groups = cand
+                break
+        shared_a = True
 
-        def a_index(i, h):
-            return (0, h, 0, 0)
-
-    grid = (b // g, nh)
-    blk = lambda: pl.BlockSpec((1, 1, g * n, hd_p),
+    grid = (n_groups // p_groups, nh)
+    pgn = p_groups * g * n
+    blk = lambda: pl.BlockSpec((1, 1, pgn, hd_p),
                                lambda i, h: (i, h, 0, 0),
                                memory_space=pltpu.VMEM)
+
+    def merge(x):  # [n_groups, nh, G*N, hd_p] -> [grid0, nh, P*G*N, hd_p]
+        x = x.reshape(n_groups // p_groups, p_groups, nh, g * n, hd_p)
+        return x.transpose(0, 2, 1, 3, 4).reshape(
+            n_groups // p_groups, nh, pgn, hd_p)
+
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, g=g, n=n),
+        functools.partial(_attn_kernel, p=p_groups, gn=g * n,
+                          shared_a=shared_a),
         grid=grid,
         in_specs=[blk(), blk(), blk(),
-                  pl.BlockSpec((g, 1, n, n), a_index,
+                  pl.BlockSpec((1 if shared_a else p_groups, 1, g * n, g * n),
+                               lambda i, h: (0, h, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=blk(),
-        out_shape=jax.ShapeDtypeStruct((b // g, nh, g * n, hd_p), dtype),
+        out_shape=jax.ShapeDtypeStruct((n_groups // p_groups, nh, pgn, hd_p),
+                                       dtype),
         interpret=_INTERPRET,
-    )(qg, kg, vg, a)
+    )(merge(qg), merge(kg), merge(vg), ag)
+    out = out.reshape(n_groups // p_groups, nh, p_groups, g * n, hd_p)
+    out = out.transpose(0, 2, 1, 3, 4).reshape(n_groups, nh, g * n, hd_p)
 
     # ungroup and strip padding
     out = out.reshape(b // g, nh, g, n, hd_p).transpose(0, 2, 1, 3, 4)
