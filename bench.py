@@ -47,12 +47,18 @@ def main() -> None:
 
     lr = jax.random.uniform(jax.random.key(1), (BATCH, 32, 32, 1),
                             jnp.float32, 0.0, 255.0)
+    # fresh input buffer every call: the TPU tunnel in this environment
+    # short-circuits repeated identical executions, so timing loops must
+    # perturb the input to measure real device work
+    bump = jax.jit(lambda x: jnp.clip(x + 0.125, 0.0, 255.0))
 
     for _ in range(WARMUP):
+        lr = bump(lr)
         forward(params, lr).block_until_ready()
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
+        lr = bump(lr)
         out = forward(params, lr)
     out.block_until_ready()
     dt = time.perf_counter() - t0
