@@ -109,6 +109,16 @@ def main(argv: Optional[List[str]] = None):
     if args.json_out:
         with open(args.json_out, "w") as f:
             json.dump(result, f)
+    if "filenames" in result:
+        # per-image score log (helpers.py:102-105, 363-365 scores.txt parity)
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "scores.txt"), "w") as f:
+            for name, split, s_ssim, s_mse, s_psnr in zip(
+                    result["filenames"], result["splits"],
+                    result["scores_ssim"], result["scores_mse"],
+                    result["scores_psnr"]):
+                f.write(f"{split}/{name}\tssim_score={s_ssim:.6f}\t"
+                        f"mse={s_mse:.6f}\tpsnr={s_psnr:.4f}\n")
     return result
 
 

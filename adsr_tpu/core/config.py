@@ -117,6 +117,10 @@ class OptimConfig:
     epochs: int = 10
     loss: str = "1*L1"
     dual_weight: float = 0.1
+    # skip updates when loss > skip_threshold * last_epoch_loss. The reference
+    # defines this (main.py:69, 113) but comments the check out
+    # (trainer.py:190, 207-210); 0 disables, reproducing shipped behavior.
+    skip_threshold: float = 0.0
 
 
 @dataclass(frozen=True)

@@ -119,14 +119,27 @@ def make_train_step(exp: Experiment) -> TrainStepBundle:
         metrics.update(comps)
         return total, metrics
 
+    skip_threshold = exp.optim.skip_threshold
+
     @partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: TrainState, lrs, hr, lr_rate, rng):
+    def train_step(state: TrainState, lrs, hr, lr_rate, rng,
+                   error_last=1e8):  # reference init value (trainer.py:126)
         (_, metrics), grads = jax.value_and_grad(loss_of, has_aux=True)(
             state.params, lrs, hr, rng)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         updates = jax.tree_util.tree_map(lambda u: -lr_rate * u, updates)
         params = optax.apply_updates(state.params, updates)
+        if skip_threshold > 0:
+            # loss-spike batch skip (trainer.py:190, 207-210 — opt-in here):
+            # a skipped batch leaves params AND optimizer moments untouched,
+            # exactly as the reference's skipped optimizer.step() would
+            ok = metrics["total"] < skip_threshold * error_last
+            take = lambda new, old: jax.tree_util.tree_map(
+                lambda a, b: jnp.where(ok, a, b), new, old)
+            params = take(params, state.params)
+            opt_state = take(opt_state, state.opt_state)
+            metrics = dict(metrics, skipped=jnp.where(ok, 0.0, 1.0))
         return TrainState(step=state.step + 1, params=params,
                           opt_state=opt_state), metrics
 
@@ -169,6 +182,7 @@ class Trainer:
         self.state = init_state(prng.stream(key, "init"))
         self.dropout_root = prng.stream(key, "dropout")
         self.epoch = 0
+        self.error_last = 1e8
         self.loss_history: List[Dict[str, float]] = []
         self.psnr_ssim_history: List[Tuple[float, float]] = []
         self.best: Dict[str, Tuple[float, int]] = {}
@@ -203,7 +217,8 @@ class Trainer:
             rng = jax.random.fold_in(
                 jax.random.fold_in(self.dropout_root, self.epoch), n_batches)
             self.state, metrics = self.train_step(self.state, lrs, hr,
-                                                  lr_rate, rng)
+                                                  lr_rate, rng,
+                                                  self.error_last)
             jax.block_until_ready(metrics["total"])
             t0 = time.time()
             t_model += t0 - t1
@@ -219,6 +234,7 @@ class Trainer:
                 t_model, t_data = 0.0, 0.0
         mean = {k: v / max(n_batches, 1) for k, v in acc.items()}
         self.loss_history.append(mean)
+        self.error_last = mean.get("total", self.error_last)
         self.epoch += 1
         return mean
 

@@ -145,3 +145,27 @@ class TestTrainStep:
         for _ in range(2):
             last = tr.train_one_epoch()["total"]
         assert last < first
+
+
+class TestSkipThreshold:
+    def test_spike_skips_update(self):
+        import dataclasses
+        exp = tiny_drct_exp()
+        exp = dataclasses.replace(
+            exp, optim=dataclasses.replace(exp.optim, skip_threshold=1.5))
+        step, init_state, _ = make_train_step(exp)
+        state = init_state(jax.random.key(0))
+        ds = synthetic_sr_dataset(4, 16, (2,))
+        lrs = [jnp.asarray(l[:2]) for l in ds.lrs]
+        hr = jnp.asarray(ds.hr[:2])
+        before = np.asarray(jax.tree_util.tree_leaves(state.params)[0]).copy()
+        # error_last = 0 -> any positive loss exceeds threshold -> skip
+        state, metrics = step(state, lrs, hr, 1e-3, jax.random.key(1), 0.0)
+        assert float(metrics["skipped"]) == 1.0
+        after = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+        np.testing.assert_array_equal(before, after)
+        # generous error_last -> update applied
+        state, metrics = step(state, lrs, hr, 1e-3, jax.random.key(1), 1e8)
+        assert float(metrics["skipped"]) == 0.0
+        after2 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+        assert not np.array_equal(before, after2)
