@@ -102,6 +102,7 @@ class TestDRCT:
         # the top-left window is contiguous: no masking
         assert np.all(m[0] == 0)
 
+    @pytest.mark.slow
     def test_reference_param_count(self):
         """Full-size DRCT (grid x4@128) parameter count ~ the reference's 27.6M."""
         cfg = DRCTModelConfig(upscale=4, img_size=32, window_size=8,
