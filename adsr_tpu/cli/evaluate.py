@@ -42,6 +42,10 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     p.add_argument("--no-save-images", dest="save_images",
                    action="store_false")
     p.add_argument("--json-out", type=str, default="")
+    p.add_argument("--group-div", type=int, default=0,
+                   help="patch-grouped part scoring: group filenames by "
+                        "int(name.split('_')[0]) // group-div and take the "
+                        "max score per part (GKD workflow, helpers.py:232-319)")
     p.add_argument("--precision", type=str, default="fp32",
                    choices=["bf16", "fp32"])
     p.add_argument("--workers", type=int, default=0)  # compat; unused
@@ -106,6 +110,20 @@ def main(argv: Optional[List[str]] = None):
     result = evaluate_anomaly(exp, params, data_root, classe,
                               out_dir=out_dir, save_images=args.save_images,
                               batch=args.batch_size)
+    if args.group_div and "filenames" in result:
+        from adsr_tpu.eval.auc import roc_auc
+        from adsr_tpu.eval.evaluate import grouped_max_scores
+        grouped = {}
+        for metric in ("ssim", "mse", "psnr"):
+            scores = result[f"scores_{metric}"]
+            if metric == "psnr":
+                scores = [-s for s in scores]
+            y_g, s_g = grouped_max_scores(result["filenames"], scores,
+                                          result["y_true"], args.group_div)
+            grouped[f"auc_{metric}_grouped"] = roc_auc(y_g, s_g)
+        result.update(grouped)
+        print("Grouped AUCs - " + ", ".join(
+            f"{k}: {v:.4f}" for k, v in grouped.items()))
     if args.json_out:
         with open(args.json_out, "w") as f:
             json.dump(result, f)

@@ -30,9 +30,10 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
                                 parents=[pre])
     p.add_argument("--model-type", type=str, default="drct",
                    choices=["drct", "drn-l"])
-    p.add_argument("--dataset", type=str, default="mvtec", choices=["mvtec"])
-    p.add_argument("--classe", type=str, default="grid",
-                   choices=["grid", "carpet"])
+    p.add_argument("--dataset", type=str, default="mvtec",
+                   choices=["mvtec", "gkd", "gkd_large"])
+    # mvtec uses grid|carpet; gkd uses DC0|DC2-style part classes
+    p.add_argument("--classe", type=str, default="grid")
     p.add_argument("--scale", type=int, default=4, choices=[2, 4, 8])
     p.add_argument("--resolution", type=int, default=128,
                    choices=[32, 64, 128, 256, 512])
@@ -71,7 +72,8 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
 
 def build_experiment(args: argparse.Namespace) -> Experiment:
     mesh = MeshConfig(dp=args.dp, tp=args.tp)
-    common = dict(classe=args.classe, resolution=args.resolution,
+    common = dict(dataset=args.dataset,
+                  classe=args.classe, resolution=args.resolution,
                   scale=args.scale, epochs=args.epochs,
                   batch_size=args.batch_size, lr=args.lr,
                   data_root=args.data_root, save_dir=args.save_dir,

@@ -183,13 +183,29 @@ def progressive_scales(scale: int) -> Tuple[int, ...]:
     return tuple(2 ** (s + 1) for s in range(n))
 
 
+def _dataset_paths(dataset: str, classe: str, resolution: int, data_root: str,
+                   save_dir: str, model_name: str, run_tag: Optional[str]
+                   ) -> Tuple[str, str, str]:
+    """Data/save path conventions (main.py:423-435)."""
+    tag = run_tag if run_tag is not None else datetime.datetime.now().strftime("%H:%M:%S")
+    if dataset == "mvtec":
+        root = data_root if data_root != "auto" else f"data/mvtec_{resolution}"
+        data_dir = f"{root}/{classe}/train/good"
+    elif dataset in ("gkd", "gkd_large"):
+        root = data_root if data_root != "auto" else f"workspace/{dataset}"
+        data_dir = f"{root}/{classe}/train/HR_{resolution}"
+    else:
+        raise ValueError(f"Unknown dataset: {dataset}")
+    save = (f"{save_dir}/{model_name}/"
+            f"{'mvtec' if dataset == 'mvtec' else dataset}_{classe}_"
+            f"{resolution}_X{{scale}}{tag}/")
+    return root, data_dir, save
+
+
 def _mvtec_paths(classe: str, resolution: int, data_root: str, save_dir: str,
                  model_name: str, run_tag: Optional[str]) -> Tuple[str, str, str]:
-    root = data_root if data_root != "auto" else f"data/mvtec_{resolution}"
-    data_dir = f"{root}/{classe}/train/good"
-    tag = run_tag if run_tag is not None else datetime.datetime.now().strftime("%H:%M:%S")
-    save = f"{save_dir}/{model_name}/mvtec_{classe}_{resolution}_X{{scale}}{tag}/"
-    return root, data_dir, save
+    return _dataset_paths("mvtec", classe, resolution, data_root, save_dir,
+                          model_name, run_tag)
 
 
 def _mvtec_cadence(classe: str, batch_size: int) -> int:
@@ -204,16 +220,19 @@ def drn_experiment(classe: str = "grid", resolution: int = 128, scale: int = 4,
                    pre_train: str = ".", pre_train_dual: str = ".",
                    seed: int = 1, mesh: MeshConfig = MeshConfig(),
                    precision: str = "bf16", run_tag: Optional[str] = None,
-                   weight_decay: float = 1e-8) -> Experiment:
-    n_colors = 3 if classe == "carpet" else 1
+                   weight_decay: float = 1e-8,
+                   dataset: str = "mvtec") -> Experiment:
+    n_colors = 3 if (dataset == "mvtec" and classe == "carpet") else 1
     n_blocks, n_feats = _DRN_SCALE_TABLE[scale]
     scales = progressive_scales(scale)
-    root, data_dir, save = _mvtec_paths(classe, resolution, data_root, save_dir,
-                                        "drn-l", run_tag)
+    root, data_dir, save = _dataset_paths(dataset, classe, resolution,
+                                          data_root, save_dir, "drn-l",
+                                          run_tag)
     test_every = _mvtec_cadence(classe, batch_size)
     model = DRNModelConfig(scale=scales, n_blocks=n_blocks, n_feats=n_feats,
                            n_colors=n_colors)
-    data = DataConfig(classe=classe, data_dir=data_dir, data_root=root,
+    data = DataConfig(dataset=dataset, classe=classe, data_dir=data_dir,
+                      data_root=root,
                       resolution=resolution, patch_size=resolution,
                       scale=scales, n_colors=n_colors, batch_size=batch_size,
                       test_every=test_every, no_augment=no_augment)
@@ -233,18 +252,21 @@ def drct_experiment(classe: str = "grid", resolution: int = 128, scale: int = 4,
                     mesh: MeshConfig = MeshConfig(), precision: str = "bf16",
                     run_tag: Optional[str] = None,
                     embed_dim: int = 180, num_layers: int = 12,
-                    num_heads: int = 6, gc: int = 32) -> Experiment:
-    n_colors = 3 if classe == "carpet" else 1
+                    num_heads: int = 6, gc: int = 32,
+                    dataset: str = "mvtec") -> Experiment:
+    n_colors = 3 if (dataset == "mvtec" and classe == "carpet") else 1
     img_size = resolution // scale
     window_size = max(1, img_size // 4)
-    root, data_dir, save = _mvtec_paths(classe, resolution, data_root, save_dir,
-                                        "drct", run_tag)
+    root, data_dir, save = _dataset_paths(dataset, classe, resolution,
+                                          data_root, save_dir, "drct",
+                                          run_tag)
     test_every = _mvtec_cadence(classe, batch_size)
     model = DRCTModelConfig(upscale=scale, img_size=img_size,
                             window_size=window_size, in_chans=n_colors,
                             embed_dim=embed_dim, num_layers=num_layers,
                             num_heads=num_heads, gc=gc)
-    data = DataConfig(classe=classe, data_dir=data_dir, data_root=root,
+    data = DataConfig(dataset=dataset, classe=classe, data_dir=data_dir,
+                      data_root=root,
                       resolution=resolution, patch_size=resolution,
                       scale=(scale,), n_colors=n_colors, batch_size=batch_size,
                       test_every=test_every, no_augment=no_augment)
