@@ -130,10 +130,33 @@ def train(exp: Experiment, resume: bool = False) -> None:
         except FileNotFoundError:
             journal.write_log("No train state to resume; starting fresh")
 
+    # preemption handling: SIGTERM/SIGINT finish the current epoch, save the
+    # full train state (params+optimizer+step), and exit resumable — the
+    # failure-recovery story the reference lacks (SURVEY.md section 5.3)
+    import signal
+    preempted = {"flag": False}
+
+    def _on_signal(signum, frame):
+        preempted["flag"] = True
+        journal.write_log(f"Signal {signum}: will checkpoint and stop after "
+                          "this epoch")
+
+    old_handlers = {s: signal.signal(s, _on_signal)
+                    for s in (signal.SIGTERM, signal.SIGINT)}
+
     start = time.time()
     while not trainer.terminate():
         trainer.train_one_epoch()
         journal.save_train_state(trainer.state)
+        journal.log_metrics({"epoch": trainer.epoch,
+                             "step": int(trainer.state.step),
+                             **trainer.loss_history[-1]})
+        if preempted["flag"]:
+            journal.write_log("Preempted: state saved; resume with --resume")
+            journal.done()
+            return
+    for s, h in old_handlers.items():
+        signal.signal(s, h)
     journal.write_log(
         f"Total Training Time: {(time.time() - start) / 3600:.2f}")
 

@@ -73,8 +73,14 @@ class Journal:
         if refresh:
             self._log_file.flush()
 
+    def log_metrics(self, record: Dict[str, Any]) -> None:
+        """Append one JSON line to metrics.jsonl (structured observability)."""
+        with open(self.dir / "metrics.jsonl", "a") as f:
+            f.write(json.dumps(record) + "\n")
+
     def done(self) -> None:
-        self._log_file.close()
+        if not self._log_file.closed:
+            self._log_file.close()
 
     # ---------------------------- checkpoints --------------------------- #
 

@@ -1,0 +1,96 @@
+"""IO layer tests: run-dir layout, checkpoint save/load, true resume."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from adsr_tpu.core.config import (DataConfig, DRCTModelConfig, Experiment,
+                                  OptimConfig)
+from adsr_tpu.io.journal import Journal, load_params, save_params
+from adsr_tpu.train.trainer import Trainer, make_train_step
+
+
+def tiny_exp(save, **kw):
+    model = DRCTModelConfig(upscale=2, img_size=8, window_size=4, in_chans=1,
+                            embed_dim=8, num_layers=1, num_heads=2, gc=4)
+    data = DataConfig(resolution=16, patch_size=16, scale=(2,), n_colors=1,
+                      batch_size=2, test_every=2, data_test="t")
+    return Experiment(model=model, data=data,
+                      optim=OptimConfig(lr=1e-3, epochs=kw.pop("epochs", 1)),
+                      save=str(save), precision="fp32", print_every=100)
+
+
+class TestJournal:
+    def test_run_dir_layout(self, tmp_path):
+        exp = tiny_exp(tmp_path / "run")
+        j = Journal(exp)
+        j.write_log("hello")
+        j.done()
+        assert (tmp_path / "run" / "log.txt").read_text().startswith("hello")
+        cfg = (tmp_path / "run" / "config.txt").read_text()
+        # keys the evaluator's run-dir inference greps for
+        assert "model_name: drct" in cfg
+        assert "patch_size: 16" in cfg
+        assert "upscale: 2" in cfg
+        assert (tmp_path / "run" / "model").is_dir()
+        assert (tmp_path / "run" / "results").is_dir()
+
+    def test_metrics_jsonl(self, tmp_path):
+        exp = tiny_exp(tmp_path / "run")
+        j = Journal(exp)
+        j.log_metrics({"epoch": 1, "total": 0.5})
+        j.log_metrics({"epoch": 2, "total": 0.25})
+        lines = (tmp_path / "run" / "metrics.jsonl").read_text().splitlines()
+        assert json.loads(lines[1])["epoch"] == 2
+        j.done()
+
+    def test_result_image_export(self, tmp_path):
+        exp = tiny_exp(tmp_path / "run")
+        j = Journal(exp)
+        sr = np.random.RandomState(0).rand(8, 8, 1) * 255
+        j.save_result_image("img7", sr, 2, "t")
+        assert (tmp_path / "run" / "results" / "t" / "x2" / "img7.png").exists()
+        j.done()
+
+
+class TestCheckpointRoundtrip:
+    def test_params_roundtrip(self, tmp_path):
+        exp = tiny_exp(tmp_path / "run")
+        bundle = make_train_step(exp)
+        state = bundle.init_state(jax.random.key(0))
+        path = str(tmp_path / "p.msgpack")
+        save_params(path, state.params)
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        loaded = load_params(path, zeros)
+        for a, b in zip(jax.tree_util.tree_leaves(loaded),
+                        jax.tree_util.tree_leaves(state.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_true_resume(self, tmp_path):
+        """Full state (params+opt+step) round-trips; resumed training
+        continues identically — the reference can't do this (SURVEY 5.4)."""
+        from tests.test_train import synthetic_sr_dataset
+        exp = tiny_exp(tmp_path / "run", epochs=2)
+        ds = synthetic_sr_dataset(4, 16, (2,))
+
+        tr1 = Trainer(exp, ds, None)
+        tr1.train_one_epoch()
+        j = Journal(exp)
+        j.save_train_state(tr1.state)
+
+        # fresh trainer, load state, confirm step/optimizer state carried over
+        tr2 = Trainer(exp, ds, None)
+        tr2.state = j.load_train_state(tr2.state)
+        assert int(tr2.state.step) == int(tr1.state.step)
+        tr2.epoch = tr1.epoch
+        tr2.error_last = tr1.error_last
+
+        m1 = tr1.train_one_epoch()
+        m2 = tr2.train_one_epoch()
+        assert m1["total"] == pytest.approx(m2["total"], rel=1e-6)
+        j.done()
