@@ -30,10 +30,18 @@ from adsr_tpu.metrics import mse_eval, psnr_eval, ssim_eval
 from adsr_tpu.train.trainer import make_eval_forward
 
 
-def _forward_split(exp: Experiment, params, ds: SRDataset, batch: int = 8
-                   ) -> Tuple[np.ndarray, np.ndarray]:
-    """Run SR over a split; returns (sr_u8, hr_u8) as [N,H,W,C] uint8."""
+def _forward_split(exp: Experiment, params, ds: SRDataset, batch: int = 8,
+                   mesh=None) -> Tuple[np.ndarray, np.ndarray]:
+    """Run SR over a split; returns (sr_u8, hr_u8) as [N,H,W,C] uint8.
+
+    With a mesh, eval batches are dp-sharded over ICI (batch-parallel eval —
+    the multi-chip path the reference has no analogue for)."""
     forward = make_eval_forward(exp)
+    put = None
+    if mesh is not None:
+        from adsr_tpu.core.mesh import batch_sharding
+        sharding = batch_sharding(mesh)
+        put = lambda x: jax.device_put(x, sharding)
     lr = ds.lrs[0]
     n = lr.shape[0]
     outs = []
@@ -42,7 +50,8 @@ def _forward_split(exp: Experiment, params, ds: SRDataset, batch: int = 8
         pad = batch - chunk.shape[0]
         if pad:
             chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
-        sr = np.asarray(forward(params, jnp.asarray(chunk)))
+        dev = jnp.asarray(chunk) if put is None else put(jnp.asarray(chunk))
+        sr = np.asarray(forward(params, dev))
         outs.append(sr[:sr.shape[0] - pad] if pad else sr)
     sr = np.concatenate(outs)
     h, w = ds.hr.shape[1], ds.hr.shape[2]
@@ -83,7 +92,7 @@ def sweep_best_window(sr_u8: np.ndarray, hr_u8: np.ndarray,
 def evaluate_anomaly(exp: Experiment, params, data_root: str,
                      classe: str, out_dir: Optional[str] = None,
                      save_images: bool = True, batch: int = 8,
-                     log=print) -> Dict[str, object]:
+                     mesh=None, log=print) -> Dict[str, object]:
     """Full anomaly pass over test/good + test/bad (evaluate.py:138-267)."""
     scale = max(exp.data.scale)
 
@@ -94,8 +103,8 @@ def evaluate_anomaly(exp: Experiment, params, data_root: str,
 
     ds_good, ds_bad = load("good"), load("bad")
 
-    sr_g, hr_g = _forward_split(exp, params, ds_good, batch)
-    sr_b, hr_b = _forward_split(exp, params, ds_bad, batch)
+    sr_g, hr_g = _forward_split(exp, params, ds_good, batch, mesh)
+    sr_b, hr_b = _forward_split(exp, params, ds_bad, batch, mesh)
     sr_u8 = np.concatenate([sr_g, sr_b])
     hr_u8 = np.concatenate([hr_g, hr_b])
     y_true = [0] * len(sr_g) + [1] * len(sr_b)

@@ -301,6 +301,31 @@ class EfficientADTrainer:
         y_score = [float(m.max()) for m in maps]
         return roc_auc(y_true, y_score), y_true, y_score
 
+    def test_auc_grouped(self, test_imgs: np.ndarray, labels: List[str],
+                         paths: List[str], quantiles, group_div: int = 14
+                         ) -> Tuple[float, List[int], List[float]]:
+        """Patch-grouped part AUC (efficientAD.py:218-290): group by
+        int(basename.split('_')[0]) // group_div, take the max patch score per
+        part, then score with 1 - max (the reference's inversion at
+        efficientAD.py:288 is reproduced)."""
+        import os
+        maps = self.predict_combined(test_imgs, quantiles)
+        groups: Dict[Tuple[int, int], float] = {}
+        for m, lab, path in zip(maps, labels, paths):
+            name = os.path.basename(path)
+            try:
+                gid = int(name.split("_")[0]) // group_div
+            except ValueError:
+                gid = hash(name.split("_")[0]) % (2 ** 31)
+            label = 0 if lab == "good" else 1
+            key = (gid, label)
+            groups[key] = max(groups.get(key, -np.inf), float(m.max()))
+        y_true = [k[1] for k in groups]
+        if len(set(y_true)) < 2:
+            raise ValueError("Only one class present in grouped labels")
+        y_score = [1.0 - groups[k] for k in groups]
+        return roc_auc(y_true, y_score), y_true, y_score
+
 
 class EarlyStopping:
     """AUC-plateau stopping (efficientAD.py:335-350)."""

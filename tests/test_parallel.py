@@ -105,3 +105,25 @@ class TestParallelStep:
         for x, y in zip(a, b):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                        atol=1e-5)
+
+
+class TestShardedEval:
+    def test_batch_sharded_forward_matches(self, tmp_path):
+        """dp-sharded eval produces identical SR outputs to single-device."""
+        from adsr_tpu.data.pipeline import SRDataset
+        from adsr_tpu.eval.evaluate import _forward_split
+        model = drct_model()
+        exp = tiny_exp(model, (2,), MeshConfig(dp=8, tp=1))
+        bundle = make_train_step(exp)
+        state = bundle.init_state(jax.random.key(0))
+        rng = np.random.RandomState(0)
+        hr = (rng.rand(10, 16, 16, 1) * 255).astype(np.float32)
+        lr = hr.reshape(10, 8, 2, 8, 2, 1).mean(axis=(2, 4))
+        ds = SRDataset(hr=hr, lrs=[lr], scales_desc=(2,),
+                       filenames=[str(i) for i in range(10)])
+        mesh = make_mesh(exp.mesh)
+        sr_m, hr_m = _forward_split(exp, state.params["primal"], ds,
+                                    batch=8, mesh=mesh)
+        sr_s, hr_s = _forward_split(exp, state.params["primal"], ds, batch=8)
+        np.testing.assert_array_equal(sr_m, sr_s)
+        np.testing.assert_array_equal(hr_m, hr_s)
