@@ -44,6 +44,9 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--device", type=str, default="auto",
                    choices=["auto", "tpu", "cpu"])
+    p.add_argument("--group-div", type=int, default=0,
+                   help="patch-grouped part scoring (GKD workflow, "
+                        "efficientAD.py:218-290); 0 = per-image scoring")
     return p.parse_args(argv)
 
 
@@ -70,8 +73,8 @@ def main(argv=None):
 
     root = Path(args.dataset_path) / args.subdataset
     train_imgs, _, _ = load_image_folder(str(root / "train"), cfg.image_size)
-    test_imgs, test_labels, _ = load_image_folder(str(root / "test"),
-                                                  cfg.image_size)
+    test_imgs, test_labels, test_paths = load_image_folder(
+        str(root / "test"), cfg.image_size)
     # 90/10 train/val split, seeded (efficientAD.py:384-392)
     rng = np.random.RandomState(cfg.seed)
     perm = rng.permutation(len(train_imgs))
@@ -110,7 +113,11 @@ def main(argv=None):
                         trainer.state.autoencoder)
         if step % cfg.eval_every == 0 and step > cfg.eval_after:
             q = trainer.map_normalization(val_imgs)
-            auc, _, _ = trainer.test_auc(test_imgs, test_labels, q)
+            if args.group_div:
+                auc, _, _ = trainer.test_auc_grouped(
+                    test_imgs, test_labels, test_paths, q, args.group_div)
+            else:
+                auc, _, _ = trainer.test_auc(test_imgs, test_labels, q)
             print(f"Current AUC: {auc:.4f}")
             if stopper.should_stop(auc):
                 print(f"Early stopping triggered at iteration {step}")
@@ -122,7 +129,11 @@ def main(argv=None):
                 trainer.state.autoencoder)
 
     q = trainer.map_normalization(val_imgs)
-    auc, y_true, y_score = trainer.test_auc(test_imgs, test_labels, q)
+    if args.group_div:
+        auc, y_true, y_score = trainer.test_auc_grouped(
+            test_imgs, test_labels, test_paths, q, args.group_div)
+    else:
+        auc, y_true, y_score = trainer.test_auc(test_imgs, test_labels, q)
     print(f"Final image auc: {auc:.2f}")
     fm = final_metrics(y_true, y_score)
     for k in ("threshold", "accuracy", "precision", "recall", "f1"):
