@@ -69,6 +69,24 @@ def window_size_candidates(min_dim: int) -> List[int]:
     return [w for w in range(3, max_w + 1, 10) if w % 2 == 1] or [3]
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("window_sizes",))
+def _ssim_sweep_graph(hr: jnp.ndarray, sr: jnp.ndarray,
+                      window_sizes: Tuple[int, ...]) -> jnp.ndarray:
+    """[len(ws), N] per-image SSIM at every window size, ONE compiled graph
+    (13 separate compiles would each pay the remote-compile round trip)."""
+    from adsr_tpu.metrics import ssim_map, to_luma
+    a = to_luma(hr.astype(jnp.float32))
+    b = to_luma(sr.astype(jnp.float32))
+    rows = []
+    for ws in window_sizes:
+        m = ssim_map(a, b, ws, 0.01 ** 2, 0.03 ** 2, "reflect")
+        rows.append(jnp.mean(m, axis=(1, 2, 3)))
+    return jnp.stack(rows)
+
+
 def sweep_best_window(sr_u8: np.ndarray, hr_u8: np.ndarray,
                       y_true: Sequence[int],
                       window_sizes: Optional[Sequence[int]] = None
@@ -78,10 +96,11 @@ def sweep_best_window(sr_u8: np.ndarray, hr_u8: np.ndarray,
         window_sizes = window_size_candidates(min(hr_u8.shape[1], hr_u8.shape[2]))
     hr = jnp.asarray(hr_u8.astype(np.float32) / 255.0)
     sr = jnp.asarray(sr_u8.astype(np.float32) / 255.0)
+    all_ssim = np.asarray(_ssim_sweep_graph(hr, sr, tuple(window_sizes)))
     best_ws, best_auc = window_sizes[0], -1.0
     per_ws: Dict[int, np.ndarray] = {}
-    for ws in window_sizes:
-        scores = 1.0 - np.asarray(ssim_eval(hr, sr, ws))
+    for i, ws in enumerate(window_sizes):
+        scores = 1.0 - all_ssim[i]
         per_ws[ws] = scores
         auc = roc_auc(y_true, scores)
         if auc > best_auc:
