@@ -135,3 +135,57 @@ class TestPipeline:
             jax.random.key(3), 8, (2,), True)
         pooled = np.asarray(out_hr).reshape(4, 4, 2, 4, 2, 1).mean(axis=(2, 4))
         np.testing.assert_allclose(np.asarray(out_lrs[0]), pooled, atol=1e-6)
+
+
+class TestScanFallbacks:
+    """LR path candidates: LR_bicubic/X{s}, LR_{s}, LR (data.py:109-134)."""
+
+    def _make(self, tmp_path, style):
+        from PIL import Image
+        rng = np.random.RandomState(0)
+        hr_dir = tmp_path / "HR"
+        hr_dir.mkdir(parents=True)
+        for i in range(2):
+            Image.fromarray(rng.randint(0, 255, (16, 16, 3), np.uint8)
+                            ).save(hr_dir / f"img{i}.png")
+            lr = rng.randint(0, 255, (8, 8, 3), np.uint8)
+            if style == "bicubic":
+                d = tmp_path / "LR_bicubic" / "X2"
+                d.mkdir(parents=True, exist_ok=True)
+                Image.fromarray(lr).save(d / f"img{i}x2.png")
+            elif style == "simple":
+                d = tmp_path / "LR_2"
+                d.mkdir(exist_ok=True)
+                Image.fromarray(lr).save(d / f"img{i}.png")
+            else:
+                d = tmp_path / "LR"
+                d.mkdir(exist_ok=True)
+                Image.fromarray(lr).save(d / f"img{i}.png")
+
+    @pytest.mark.parametrize("style", ["bicubic", "simple", "plain"])
+    def test_styles(self, tmp_path, style):
+        self._make(tmp_path, style)
+        ds = load_sr_dataset(str(tmp_path), (2,), 1)
+        assert ds.n == 2
+        assert ds.lrs[0].shape == (2, 8, 8, 1)
+
+    def test_missing_lr_raises(self, tmp_path):
+        from PIL import Image
+        (tmp_path / "HR").mkdir()
+        Image.fromarray(np.zeros((8, 8), np.uint8)).save(
+            tmp_path / "HR" / "a.png")
+        with pytest.raises(FileNotFoundError):
+            load_sr_dataset(str(tmp_path), (2,), 1)
+
+    def test_hr_cropped_to_lr_multiple(self, tmp_path):
+        """HR larger than lr*scale is cropped (data.py:176-181)."""
+        from PIL import Image
+        (tmp_path / "HR").mkdir()
+        (tmp_path / "LR_2").mkdir()
+        rng = np.random.RandomState(0)
+        Image.fromarray(rng.randint(0, 255, (19, 17), np.uint8)).save(
+            tmp_path / "HR" / "a.png")
+        Image.fromarray(rng.randint(0, 255, (8, 8), np.uint8)).save(
+            tmp_path / "LR_2" / "a.png")
+        ds = load_sr_dataset(str(tmp_path), (2,), 1)
+        assert ds.hr.shape == (1, 16, 16, 1)
