@@ -35,7 +35,11 @@ def main(argv=None):
           for k, v in sd.items()}
 
     if args.model_type == "drct":
+        from adsr_tpu.io.torch_convert import stack_scan_layers
         params = convert_drct(sd)
+        n_layers = 1 + max(int(k.split("_")[1]) for k in params
+                           if k.startswith("rdg_"))
+        params = stack_scan_layers(params, n_layers)
     else:
         from adsr_tpu.core.config import drn_experiment
         exp = drn_experiment(classe=args.classe, resolution=args.resolution,

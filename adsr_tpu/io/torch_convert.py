@@ -185,6 +185,18 @@ def _set_drn_up(out, blk: int, seq: int, rest: str, key: str, v: np.ndarray,
     _set(out, f"up{blk}_proj/{kind}", w)
 
 
+def stack_scan_layers(params: Dict[str, Any], num_layers: int
+                      ) -> Dict[str, Any]:
+    """Re-pack per-layer ``rdg_{i}`` subtrees into the nn.scan layout
+    (``rdgs/rdg`` with a leading [num_layers] axis on every leaf)."""
+    import jax.tree_util as jtu
+    layers = [params[f"rdg_{i}"] for i in range(num_layers)]
+    stacked = jtu.tree_map(lambda *xs: np.stack(xs), *layers)
+    out = {k: v for k, v in params.items() if not k.startswith("rdg_")}
+    out["rdgs"] = {"rdg": stacked}
+    return out
+
+
 def _pk(key: str) -> str:
     return "kernel" if key.endswith("weight") else "bias"
 

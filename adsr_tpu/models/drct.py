@@ -146,20 +146,24 @@ class WindowAttention(nn.Module):
 
 
 class SwinBlock(nn.Module):
-    """Swin transformer block with optional cyclic shift (src/drct.py:398-512)."""
+    """Swin transformer block with optional cyclic shift (src/drct.py:398-512).
+
+    ``drop_path`` is a call-time (possibly traced) rate so identical layers can
+    be nn.scan-stacked with per-layer rates; rate 0 is an exact identity.
+    """
     dim: int
     input_resolution: Tuple[int, int]
     num_heads: int
     window_size: int
     shift_size: int
     mlp_ratio: float
-    drop_path: float = 0.0
     qkv_bias: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, x_size: Tuple[int, int],
-                 deterministic: bool = True) -> jnp.ndarray:
+                 deterministic: bool = True,
+                 drop_path: jnp.ndarray | float = 0.0) -> jnp.ndarray:
         h, w = x_size
         b, l, c = x.shape
         win, shift = self.window_size, self.shift_size
@@ -186,17 +190,19 @@ class SwinBlock(nn.Module):
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
         x = x.reshape(b, l, c)
 
-        x = shortcut + self._drop_path(x, deterministic)
+        x = shortcut + self._drop_path(x, deterministic, drop_path)
         y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         y = Mlp(hidden=int(self.dim * self.mlp_ratio), out=self.dim,
                 dtype=self.dtype, name="mlp")(y)
-        return x + self._drop_path(y, deterministic)
+        return x + self._drop_path(y, deterministic, drop_path)
 
-    def _drop_path(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
-        """Per-sample stochastic depth (src/drct.py:107-119)."""
-        if self.drop_path == 0.0 or deterministic:
+    def _drop_path(self, x: jnp.ndarray, deterministic: bool,
+                   rate) -> jnp.ndarray:
+        """Per-sample stochastic depth (src/drct.py:107-119). With a traced
+        rate of 0 the mask is exactly all-ones (identity)."""
+        if deterministic:
             return x
-        keep = 1.0 - self.drop_path
+        keep = 1.0 - jnp.asarray(rate, x.dtype)
         rng = self.make_rng("dropout")
         mask = jnp.floor(keep + jax.random.uniform(
             rng, (x.shape[0],) + (1,) * (x.ndim - 1), dtype=x.dtype))
@@ -211,13 +217,13 @@ class RDG(nn.Module):
     window_size: int
     mlp_ratio: float
     gc: int
-    drop_path: float = 0.0
     qkv_bias: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, x_size: Tuple[int, int],
-                 deterministic: bool = True) -> jnp.ndarray:
+                 deterministic: bool = True,
+                 drop_path: jnp.ndarray | float = 0.0) -> jnp.ndarray:
         d, gc, nh = self.dim, self.gc, self.num_heads
         h, w = x_size
         shift = self.window_size // 2
@@ -227,7 +233,7 @@ class RDG(nn.Module):
             return SwinBlock(dim=feat, input_resolution=self.input_resolution,
                              num_heads=heads, window_size=self.window_size,
                              shift_size=cur_shift, mlp_ratio=ratio,
-                             drop_path=self.drop_path, qkv_bias=self.qkv_bias,
+                             qkv_bias=self.qkv_bias,
                              dtype=self.dtype, name=name)
 
         def adjust(feat, name):
@@ -246,13 +252,36 @@ class RDG(nn.Module):
         for k in range(5):
             inp = outs[0] if k == 0 else jnp.concatenate(outs, axis=-1)
             t = swin(k, feats[k], shifts[k], ratios[k],
-                     f"swin{k + 1}")(inp, x_size, deterministic)
+                     f"swin{k + 1}")(inp, x_size, deterministic, drop_path)
             t = adjust(d if k == 4 else gc, f"adjust{k + 1}")(to_space(t))
             if k < 4:
                 t = nn.leaky_relu(t, 0.2)
             outs.append(to_tokens(t))
 
         return outs[5] * 0.2 + x
+
+
+class _RDGScanBody(nn.Module):
+    """nn.scan body: (tokens, per-layer drop_path rate) -> tokens."""
+    dim: int
+    input_resolution: Tuple[int, int]
+    num_heads: int
+    window_size: int
+    mlp_ratio: float
+    gc: int
+    x_size: Tuple[int, int]
+    deterministic: bool
+    qkv_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry: jnp.ndarray, dp: jnp.ndarray):
+        out = RDG(dim=self.dim, input_resolution=self.input_resolution,
+                  num_heads=self.num_heads, window_size=self.window_size,
+                  mlp_ratio=self.mlp_ratio, gc=self.gc,
+                  qkv_bias=self.qkv_bias, dtype=self.dtype,
+                  name="rdg")(carry, self.x_size, self.deterministic, dp)
+        return out, None
 
 
 class DRCT(nn.Module):
@@ -283,13 +312,29 @@ class DRCT(nn.Module):
         # stochastic-depth schedule: RDG i uses dpr[6i] of linspace(0, 0.1, 72)
         # with the reference's depths=(6,)*12 (src/drct.py:819-830)
         total = 6 * cfg.num_layers
-        for i in range(cfg.num_layers):
-            dp = 0.1 * (6 * i) / max(total - 1, 1)
-            t = RDG(dim=cfg.embed_dim, input_resolution=res,
-                    num_heads=cfg.num_heads, window_size=cfg.window_size,
-                    mlp_ratio=cfg.mlp_ratio, gc=cfg.gc, drop_path=dp,
-                    qkv_bias=cfg.qkv_bias, dtype=self.dtype,
-                    name=f"rdg_{i}")(t, res, deterministic)
+        dpr = [0.1 * (6 * i) / max(total - 1, 1)
+               for i in range(cfg.num_layers)]
+        rdg_kwargs = dict(dim=cfg.embed_dim, input_resolution=res,
+                          num_heads=cfg.num_heads,
+                          window_size=cfg.window_size,
+                          mlp_ratio=cfg.mlp_ratio, gc=cfg.gc,
+                          qkv_bias=cfg.qkv_bias, dtype=self.dtype)
+        if cfg.scan_layers:
+            # one compiled RDG body scanned num_layers times; params carry a
+            # leading [num_layers] axis under 'rdgs'
+            scanned = nn.scan(
+                _RDGScanBody,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=cfg.num_layers,
+                in_axes=0, out_axes=0)
+            body = scanned(x_size=res, deterministic=deterministic,
+                           name="rdgs", **rdg_kwargs)
+            t, _ = body(t, jnp.asarray(dpr, jnp.float32))
+        else:
+            for i in range(cfg.num_layers):
+                t = RDG(name=f"rdg_{i}", **rdg_kwargs)(
+                    t, res, deterministic, dpr[i])
         t = nn.LayerNorm(dtype=self.dtype, name="norm")(t)
         deep = t.reshape(feat.shape[0], h, w, cfg.embed_dim)
 

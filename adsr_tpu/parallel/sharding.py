@@ -45,14 +45,20 @@ def param_shardings(params: Any, mesh: Mesh) -> Any:
     def spec(path, leaf) -> NamedSharding:
         name = _path_str(path)
         if tp > 1 and leaf.ndim >= 1:
+            # nn.scan-stacked layers carry a leading [num_layers] axis: the
+            # row-parallel (input-feature) dim is then axis 1, not 0
+            row_axis = leaf.ndim - 2
             if _COL_RE.search(name) and leaf.shape[-1] % tp == 0:
                 return NamedSharding(
                     mesh, P(*([None] * (leaf.ndim - 1)), "tp"))
-            if _ROW_RE.search(name) and leaf.shape[0] % tp == 0:
-                return NamedSharding(
-                    mesh, P("tp", *([None] * (leaf.ndim - 1))))
+            if (_ROW_RE.search(name) and leaf.ndim >= 2
+                    and leaf.shape[row_axis] % tp == 0):
+                axes = [None] * leaf.ndim
+                axes[row_axis] = "tp"
+                return NamedSharding(mesh, P(*axes))
             if _COL_BIAS_RE.search(name) and leaf.shape[-1] % tp == 0:
-                return NamedSharding(mesh, P("tp"))
+                return NamedSharding(
+                    mesh, P(*([None] * (leaf.ndim - 1)), "tp"))
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map_with_path(spec, params)

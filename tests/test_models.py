@@ -134,3 +134,39 @@ class TestEfficientAD:
         x = jnp.zeros((1, 256, 256, 3))
         params = m.init(jax.random.key(0), x)
         assert m.apply(params, x).shape == (1, 56, 56, 384)
+
+
+class TestDRCTScanLayers:
+    def test_scan_equals_loop(self):
+        """nn.scan-stacked RDGs compute the same function as the unrolled loop
+        when fed the same (stacked) parameters."""
+        import dataclasses
+        import jax.tree_util as jtu
+        cfg = DRCTModelConfig(upscale=2, img_size=8, window_size=4, in_chans=1,
+                              embed_dim=12, num_layers=3, num_heads=2, gc=4,
+                              scan_layers=False)
+        x = jnp.asarray(np.random.RandomState(0).rand(2, 8, 8, 1) * 255,
+                        jnp.float32)
+        m_loop = DRCT(cfg)
+        p_loop = m_loop.init(jax.random.key(0), x)["params"]
+        rdgs = [p_loop[f"rdg_{i}"] for i in range(3)]
+        stacked = jtu.tree_map(lambda *xs: jnp.stack(xs), *rdgs)
+        p_scan = {k: v for k, v in p_loop.items() if not k.startswith("rdg_")}
+        p_scan["rdgs"] = {"rdg": stacked}
+        m_scan = DRCT(dataclasses.replace(cfg, scan_layers=True))
+        o_loop = m_loop.apply({"params": p_loop}, x)
+        o_scan = m_scan.apply({"params": p_scan}, x)
+        np.testing.assert_allclose(np.asarray(o_loop), np.asarray(o_scan),
+                                   atol=1e-4)
+
+    def test_scan_trains(self):
+        """drop_path rates flow through scan during training (rngs needed)."""
+        cfg = DRCTModelConfig(upscale=2, img_size=8, window_size=4, in_chans=1,
+                              embed_dim=12, num_layers=2, num_heads=2, gc=4,
+                              scan_layers=True)
+        m = DRCT(cfg)
+        x = jnp.zeros((2, 8, 8, 1))
+        p = m.init(jax.random.key(0), x)["params"]
+        out = m.apply({"params": p}, x, deterministic=False,
+                      rngs={"dropout": jax.random.key(1)})
+        assert out.shape == (2, 16, 16, 1)

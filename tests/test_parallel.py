@@ -49,10 +49,11 @@ class TestShardingRules:
         specs = param_shardings(state.params, mesh)
         flat = {"/".join(str(getattr(k, "key", k)) for k in path): s.spec
                 for path, s in jax.tree_util.tree_flatten_with_path(specs)[0]}
+        # scan-stacked layers: leading [num_layers] axis stays unsharded
         qkv = [k for k in flat if k.endswith("qkv/kernel")]
-        assert qkv and all(flat[k] == P(None, "tp") for k in qkv)
+        assert qkv and all(flat[k] == P(None, None, "tp") for k in qkv)
         proj = [k for k in flat if k.endswith("attn/proj/kernel")]
-        assert proj and all(flat[k] == P("tp", None) for k in proj)
+        assert proj and all(flat[k] == P(None, "tp", None) for k in proj)
         convs = [k for k in flat if "conv_first" in k]
         assert convs and all(flat[k] == P() for k in convs)
 

@@ -61,9 +61,10 @@ def drct_torch_key(path):
 
 
 class TestConvertDRCT:
-    def test_structure_roundtrip(self):
+    def _roundtrip(self, scan_layers):
         cfg = DRCTModelConfig(upscale=4, img_size=8, window_size=4, in_chans=1,
-                              embed_dim=12, num_layers=2, num_heads=2, gc=4)
+                              embed_dim=12, num_layers=2, num_heads=2, gc=4,
+                              scan_layers=False)
         template, _ = init_sr_params(cfg, jax.random.key(0))
         flat = flatten(template)
         sd = {}
@@ -76,10 +77,25 @@ class TestConvertDRCT:
             else:
                 kind = "other"
             sd[key] = torchify(arr.shape, kind)
-        got = flatten(convert_drct(sd))
+        converted = convert_drct(sd)
+        if scan_layers:
+            from adsr_tpu.io.torch_convert import stack_scan_layers
+            from adsr_tpu.core.config import DRCTModelConfig as C
+            import dataclasses
+            converted = stack_scan_layers(converted, 2)
+            scan_cfg = dataclasses.replace(cfg, scan_layers=True)
+            template, _ = init_sr_params(scan_cfg, jax.random.key(0))
+            flat = flatten(template)
+        got = flatten(converted)
         assert set(got) == set(flat)
         for k in flat:
             assert got[k].shape == flat[k].shape, k
+
+    def test_structure_roundtrip(self):
+        self._roundtrip(scan_layers=False)
+
+    def test_structure_roundtrip_scan(self):
+        self._roundtrip(scan_layers=True)
 
     def test_value_transposition(self):
         w = np.arange(24, dtype=np.float32).reshape(2, 3, 2, 2)  # O,I,kH,kW
