@@ -55,6 +55,9 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--resume", action="store_true",
                    help="resume params+optimizer+step from the run dir")
+    p.add_argument("--ckpt-every", type=int, default=1,
+                   help="epochs between full-train-state checkpoints "
+                        "(0 = end of training only)")
     p.add_argument("--run-tag", type=str, default=None)
     # DRCT capacity overrides (full-size defaults match the reference)
     p.add_argument("--embed-dim", type=int, default=180)
@@ -91,8 +94,9 @@ def build_experiment(args: argparse.Namespace) -> Experiment:
         exp = drct_experiment(pre_train=pre, embed_dim=args.embed_dim,
                               num_layers=args.num_layers,
                               num_heads=args.num_heads, **common)
+    import dataclasses
+    exp = dataclasses.replace(exp, ckpt_every=args.ckpt_every)
     if args.test_only:
-        import dataclasses
         exp = dataclasses.replace(exp, test_only=True)
     return exp
 
@@ -144,10 +148,12 @@ def train(exp: Experiment, resume: bool = False) -> None:
     old_handlers = {s: signal.signal(s, _on_signal)
                     for s in (signal.SIGTERM, signal.SIGINT)}
 
+    ck = exp.ckpt_every
     start = time.time()
     while not trainer.terminate():
         trainer.train_one_epoch()
-        journal.save_train_state(trainer.state)
+        if (ck and trainer.epoch % ck == 0) or preempted["flag"]:
+            journal.save_train_state(trainer.state)
         journal.log_metrics({"epoch": trainer.epoch,
                              "step": int(trainer.state.step),
                              **trainer.loss_history[-1]})

@@ -150,6 +150,9 @@ class Experiment:
     test_only: bool = False
     pre_train: str = "."
     pre_train_dual: str = "."
+    # full-train-state checkpoint cadence in epochs (device->host fetch of
+    # params+moments is expensive through a TPU tunnel; 0 = only at the end)
+    ckpt_every: int = 1
 
     # ---------------- serialization (config.txt parity) ---------------- #
 
