@@ -42,10 +42,13 @@ def main(argv=None):
         params = stack_scan_layers(params, n_layers)
     else:
         from adsr_tpu.core.config import drn_experiment
+        from adsr_tpu.io.torch_convert import stack_drn_rcabs
         exp = drn_experiment(classe=args.classe, resolution=args.resolution,
                              scale=args.scale)
         params = convert_drn(sd, phase=len(exp.model.scale),
                              n_blocks=exp.model.n_blocks)
+        params = stack_drn_rcabs(params, phase=len(exp.model.scale),
+                                 n_blocks=exp.model.n_blocks)
 
     if args.verify:
         import jax

@@ -41,6 +41,10 @@ class DRNModelConfig:
     negval: float = 0.2
     rgb_range: float = 255.0
     dual: bool = True
+    # compile each up-phase's n_blocks identical RCABs as ONE nn.scan body
+    # (n_blocks is 36-44: unrolled compiles are ~40x larger). Params carry a
+    # leading [n_blocks] axis under up{i}_rcabs.
+    scan_blocks: bool = True
 
     @property
     def max_scale(self) -> int:

@@ -197,6 +197,19 @@ def stack_scan_layers(params: Dict[str, Any], num_layers: int
     return out
 
 
+def stack_drn_rcabs(params: Dict[str, Any], phase: int, n_blocks: int
+                    ) -> Dict[str, Any]:
+    """Re-pack per-block ``up{i}_rcab{j}`` subtrees into the nn.scan layout
+    (``up{i}_rcabs/rcab`` with a leading [n_blocks] axis)."""
+    import jax.tree_util as jtu
+    out = dict(params)
+    for i in range(phase):
+        blocks = [out.pop(f"up{i}_rcab{j}") for j in range(n_blocks)]
+        out[f"up{i}_rcabs"] = {
+            "rcab": jtu.tree_map(lambda *xs: np.stack(xs), *blocks)}
+    return out
+
+
 def _pk(key: str) -> str:
     return "kernel" if key.endswith("weight") else "bias"
 

@@ -48,6 +48,16 @@ class DownBlock(nn.Module):
                     name="proj")(x)
 
 
+class _RCABScanBody(nn.Module):
+    """nn.scan body for a stack of identical RCABs: carry -> carry."""
+    n_feat: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry: jnp.ndarray, _):
+        return RCAB(self.n_feat, dtype=self.dtype, name="rcab")(carry), None
+
+
 class DRN(nn.Module):
     """Returns a list of SR images, lowest resolution first (src/drn.py:241-270)."""
     cfg: DRNModelConfig
@@ -97,9 +107,18 @@ class DRN(nn.Module):
         proj_feats = [f * 2 ** p for p in range(phase - 1, -1, -1)]
 
         for idx in range(phase):
-            for b in range(cfg.n_blocks):
-                x = RCAB(body_feats[idx], dtype=self.dtype,
-                         name=f"up{idx}_rcab{b}")(x)
+            if cfg.scan_blocks:
+                scanned = nn.scan(
+                    _RCABScanBody,
+                    variable_axes={"params": 0},
+                    split_rngs={"params": True},
+                    length=cfg.n_blocks)
+                x, _ = scanned(n_feat=body_feats[idx], dtype=self.dtype,
+                               name=f"up{idx}_rcabs")(x, None)
+            else:
+                for b in range(cfg.n_blocks):
+                    x = RCAB(body_feats[idx], dtype=self.dtype,
+                             name=f"up{idx}_rcab{b}")(x)
             x = Upsampler(2, up_feats[idx], dtype=self.dtype,
                           name=f"up{idx}_upsampler")(x)
             x = nn.Conv(proj_feats[idx], (1, 1), dtype=self.dtype,

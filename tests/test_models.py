@@ -170,3 +170,26 @@ class TestDRCTScanLayers:
         out = m.apply({"params": p}, x, deterministic=False,
                       rngs={"dropout": jax.random.key(1)})
         assert out.shape == (2, 16, 16, 1)
+
+
+class TestDRNScanBlocks:
+    def test_scan_equals_loop(self):
+        import dataclasses
+        import jax.tree_util as jtu
+        cfg = DRNModelConfig(scale=(2, 4), n_blocks=3, n_feats=8, n_colors=1,
+                             scan_blocks=False)
+        x = jnp.asarray(np.random.RandomState(0).rand(2, 4, 4, 1) * 255,
+                        jnp.float32)
+        m_loop = DRN(cfg)
+        p_loop = m_loop.init(jax.random.key(0), x)["params"]
+        p_scan = dict(p_loop)
+        for i in range(2):
+            blocks = [p_scan.pop(f"up{i}_rcab{j}") for j in range(3)]
+            p_scan[f"up{i}_rcabs"] = {
+                "rcab": jtu.tree_map(lambda *xs: jnp.stack(xs), *blocks)}
+        m_scan = DRN(dataclasses.replace(cfg, scan_blocks=True))
+        o_loop = m_loop.apply({"params": p_loop}, x)
+        o_scan = m_scan.apply({"params": p_scan}, x)
+        for a, b in zip(o_loop, o_scan):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4)

@@ -106,8 +106,9 @@ class TestConvertDRCT:
 
 
 class TestConvertDRN:
-    def test_structure_roundtrip(self):
-        cfg = DRNModelConfig(scale=(2, 4), n_blocks=2, n_feats=16, n_colors=1)
+    def test_structure_roundtrip(self, scan=False):
+        cfg = DRNModelConfig(scale=(2, 4), n_blocks=2, n_feats=16, n_colors=1,
+                             scan_blocks=False)
         template, _ = init_sr_params(cfg, jax.random.key(0))
         flat = flatten(template)
         sd = {}
@@ -115,10 +116,22 @@ class TestConvertDRN:
             key = self._torch_key(path, cfg.n_blocks)
             kind = "conv" if arr.ndim == 4 else "other"
             sd[key] = torchify(arr.shape, kind)
-        got = flatten(convert_drn(sd, phase=2, n_blocks=cfg.n_blocks))
+        converted = convert_drn(sd, phase=2, n_blocks=cfg.n_blocks)
+        if scan:
+            import dataclasses
+            from adsr_tpu.io.torch_convert import stack_drn_rcabs
+            converted = stack_drn_rcabs(converted, phase=2,
+                                        n_blocks=cfg.n_blocks)
+            template, _ = init_sr_params(
+                dataclasses.replace(cfg, scan_blocks=True), jax.random.key(0))
+            flat = flatten(template)
+        got = flatten(converted)
         assert set(got) == set(flat)
         for k in flat:
             assert got[k].shape == flat[k].shape, k
+
+    def test_structure_roundtrip_scan(self):
+        self.test_structure_roundtrip(scan=True)
 
     @staticmethod
     def _torch_key(path, n_blocks):
