@@ -207,9 +207,11 @@ class Trainer:
         lr_rate = cosine_lr(self.epoch, exp.optim.lr, exp.optim.eta_min,
                             exp.optim.epochs)
         self._log(f"[Epoch {self.epoch + 1}]\tLearning rate: {lr_rate:.2e}")
+        # metrics accumulate ON DEVICE; host fetches happen only at print
+        # points (per-step float() round trips serialize the tunnel)
         t_data, t_model = 0.0, 0.0
         t0 = time.time()
-        acc: Dict[str, float] = {}
+        acc: Dict[str, jnp.ndarray] = {}
         n_batches = 0
         for lrs, hr in self.sampler.epoch(self.epoch):
             t1 = time.time()
@@ -219,20 +221,20 @@ class Trainer:
             self.state, metrics = self.train_step(self.state, lrs, hr,
                                                   lr_rate, rng,
                                                   self.error_last)
-            jax.block_until_ready(metrics["total"])
+            for k, v in metrics.items():
+                acc[k] = acc[k] + v if k in acc else v
+            n_batches += 1
             t0 = time.time()
             t_model += t0 - t1
-            for k, v in metrics.items():
-                acc[k] = acc.get(k, 0.0) + float(v)
-            n_batches += 1
             if (n_batches % self.exp.print_every) == 0:
-                shown = "".join(f"[{k}: {v / n_batches:.4f}]"
+                shown = "".join(f"[{k}: {float(v) / n_batches:.4f}]"
                                 for k, v in acc.items())
+                t0 = time.time()  # the float() fetch above synced the device
                 self._log(f"[{n_batches * exp.data.batch_size}/"
                           f"{self.sampler.dataset_length}]\t{shown}"
                           f"\t{t_model:.1f}+{t_data:.1f}s")
                 t_model, t_data = 0.0, 0.0
-        mean = {k: v / max(n_batches, 1) for k, v in acc.items()}
+        mean = {k: float(v) / max(n_batches, 1) for k, v in acc.items()}
         self.loss_history.append(mean)
         self.error_last = mean.get("total", self.error_last)
         self.epoch += 1
