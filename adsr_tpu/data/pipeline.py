@@ -105,6 +105,9 @@ def load_sr_dataset(data_dir: str, scales: Sequence[int], n_colors: int,
     """Load a split directory (train/good, val/good, test/bad, ...).
 
     ``scales`` ascending as configured; stored descending per the reference.
+
+    PNG decode goes through the native C++ loader when available (bit-exact
+    with PIL, threaded); PIL otherwise.
     """
     from PIL import Image
 
@@ -112,7 +115,12 @@ def load_sr_dataset(data_dir: str, scales: Sequence[int], n_colors: int,
     root = Path(data_dir)
     hr_files, lr_files = _scan(root, scales_desc)
 
+    from adsr_tpu.data import native_loader as nl
+    use_native = nl.available()
+
     def read(path: Path) -> np.ndarray:
+        if use_native:
+            return nl.decode_png(str(path))
         with Image.open(path) as im:
             return np.asarray(im)
 
