@@ -47,12 +47,29 @@ def expand_scales(user_scales: Iterable[int]) -> Tuple[int, ...]:
 
 
 def _save_pairs(files: Sequence[Path], base: Path, scales: Sequence[int],
-                target_hr: Tuple[int, int], rename=None) -> None:
+                target_hr: Tuple[int, int], rename=None,
+                use_native: bool = False) -> None:
+    if use_native:
+        from adsr_tpu.data import native_loader as nl
+        use_native = nl.available()
     for f in files:
         name = rename(f) if rename else f.name
-        hr = resize_image(f, target_hr)
         hr_path = base / "HR" / name
         hr_path.parent.mkdir(parents=True, exist_ok=True)
+        if use_native:
+            from PIL import Image
+            from adsr_tpu.data import native_loader as nl
+            src = nl.decode_png(str(f), force_rgb=True)
+            hr_arr = nl.resize_lanczos(src, target_hr[1], target_hr[0])
+            Image.fromarray(hr_arr).save(hr_path)
+            for s in scales:
+                lr_path = base / f"LR_{s}" / name
+                lr_path.parent.mkdir(parents=True, exist_ok=True)
+                lr = nl.resize_lanczos(hr_arr, target_hr[1] // s,
+                                       target_hr[0] // s)
+                Image.fromarray(lr).save(lr_path)
+            continue
+        hr = resize_image(f, target_hr)
         hr.save(hr_path)
         for s in scales:
             lr_path = base / f"LR_{s}" / name
@@ -66,7 +83,10 @@ def prepare_mvtec_dataset(source_base: str = "data/mvtec",
                           scale_factors: Sequence[int] = (2, 4),
                           target_hr: Tuple[int, int] = (128, 128),
                           val_ratio: float = 0.1, seed: int = 42,
-                          clean: bool = True) -> None:
+                          clean: bool = True,
+                          use_native: bool = False) -> None:
+    """use_native switches to the C++ decode+Lanczos path (threadable, within
+    1 LSB of PIL); default stays PIL for byte parity with reference prep."""
     src, dst = Path(source_base), Path(target_base)
     if clean and dst.exists():
         shutil.rmtree(dst)
@@ -85,22 +105,23 @@ def prepare_mvtec_dataset(source_base: str = "data/mvtec",
                 val_size = max(1, val_size)
             val_files, train_files = files[:val_size], files[val_size:]
             _save_pairs(train_files, dst / classe / "train" / "good",
-                        scale_factors, target_hr)
+                        scale_factors, target_hr, use_native=use_native)
             _save_pairs(val_files, dst / classe / "val" / "good",
-                        scale_factors, target_hr)
+                        scale_factors, target_hr, use_native=use_native)
 
         if test_src.exists():
             good = sorted((test_src / "good").glob("*.png")) \
                 if (test_src / "good").exists() else []
             _save_pairs(good, dst / classe / "test" / "good",
-                        scale_factors, target_hr)
+                        scale_factors, target_hr, use_native=use_native)
             defect_dirs = sorted(d for d in test_src.iterdir()
                                  if d.is_dir() and d.name != "good")
             for d in defect_dirs:
                 _save_pairs(sorted(d.glob("*.png")),
                             dst / classe / "test" / "bad",
                             scale_factors, target_hr,
-                            rename=lambda f, dn=d.name: f"{dn}_{f.name}")
+                            rename=lambda f, dn=d.name: f"{dn}_{f.name}",
+                            use_native=use_native)
 
 
 def verify_dataset_structure(base_dir: str,

@@ -85,3 +85,26 @@ class TestBatch:
     def test_missing_file_errors(self):
         with pytest.raises(IOError):
             nl.load_batch(["/nonexistent.png"], 8, 8)
+
+
+class TestNativePrepare:
+    def test_native_prep_close_to_pil(self, tmp_path):
+        from adsr_tpu.data.prepare import prepare_mvtec_dataset
+        from adsr_tpu.data.synthetic import generate_synthetic_mvtec
+        src = tmp_path / "mvtec"
+        generate_synthetic_mvtec(str(src), classes=("grid",), n_train=3,
+                                 n_test_good=1, n_test_bad_per_defect=1,
+                                 size=64)
+        prepare_mvtec_dataset(str(src), str(tmp_path / "pil"),
+                              classes=("grid",), scale_factors=(2,),
+                              target_hr=(32, 32))
+        prepare_mvtec_dataset(str(src), str(tmp_path / "nat"),
+                              classes=("grid",), scale_factors=(2,),
+                              target_hr=(32, 32), use_native=True)
+        a = sorted((tmp_path / "pil" / "grid/train/good/HR").glob("*.png"))
+        b = sorted((tmp_path / "nat" / "grid/train/good/HR").glob("*.png"))
+        assert [p.name for p in a] == [p.name for p in b]
+        for pa, pb in zip(a, b):
+            ia = np.asarray(Image.open(pa)).astype(int)
+            ib = np.asarray(Image.open(pb)).astype(int)
+            assert np.abs(ia - ib).max() <= 1
