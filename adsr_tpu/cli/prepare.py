@@ -27,6 +27,8 @@ def main(argv=None):
     p.add_argument("--synthetic", action="store_true",
                    help="generate a synthetic source tree first")
     p.add_argument("--synthetic-train", type=int, default=24)
+    p.add_argument("--use-native", action="store_true",
+                   help="use the C++ decode+Lanczos path (within 1 LSB of PIL)")
     args = p.parse_args(argv)
 
     from adsr_tpu.data.prepare import (expand_scales, prepare_mvtec_dataset,
@@ -58,7 +60,8 @@ def main(argv=None):
     prepare_mvtec_dataset(args.source, target, classes=classes,
                           scale_factors=scale_factors,
                           target_hr=(args.hr_size, args.hr_size),
-                          val_ratio=args.val_ratio, seed=args.seed)
+                          val_ratio=args.val_ratio, seed=args.seed,
+                          use_native=args.use_native)
     report = verify_dataset_structure(target, classes=classes)
     for classe, counts in report.items():
         print(f"  {classe}: " + ", ".join(f"{k}={v}" for k, v in counts.items()))
