@@ -42,9 +42,50 @@ def save_params(path: str, params: Any) -> None:
 
 
 def load_params(path: str, target: Any) -> Any:
-    """Deserialize into the structure of ``target`` (shape-checked)."""
+    """Deserialize into the structure of ``target`` (shape-checked).
+
+    Transparently adapts between the unrolled (``rdg_{i}`` / ``up{i}_rcab{j}``)
+    and nn.scan-stacked (``rdgs`` / ``up{i}_rcabs``) parameter layouts so
+    checkpoints stay loadable across the scan_layers/scan_blocks flags.
+    """
     with open(path, "rb") as f:
-        return serialization.from_bytes(target, f.read())
+        raw = serialization.msgpack_restore(f.read())
+    raw = _adapt_layout(raw, target)
+    return serialization.from_state_dict(target, raw)
+
+
+def _adapt_layout(raw: Any, target: Any) -> Any:
+    import re
+
+    import numpy as np
+
+    if not isinstance(raw, dict) or not isinstance(target, dict):
+        return raw
+    tkeys = set(target.keys())
+    out = dict(raw)
+
+    def stack_group(prefix_re: str, dest: str, inner: str) -> None:
+        names = sorted((k for k in out if re.fullmatch(prefix_re, k)),
+                       key=lambda s: int(re.findall(r"\d+", s)[-1]))
+        if names and dest in tkeys and dest not in out:
+            layers = [out.pop(n) for n in names]
+            out[dest] = {inner: jax.tree_util.tree_map(
+                lambda *xs: np.stack(xs), *layers)}
+
+    def unstack_group(src: str, prefix: str, inner: str) -> None:
+        if src in out and src not in tkeys:
+            stacked = out.pop(src)[inner]
+            n = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+            for i in range(n):
+                out[f"{prefix}{i}"] = jax.tree_util.tree_map(
+                    lambda x: x[i], stacked)
+
+    stack_group(r"rdg_\d+", "rdgs", "rdg")
+    unstack_group("rdgs", "rdg_", "rdg")
+    for i in range(8):
+        stack_group(rf"up{i}_rcab\d+", f"up{i}_rcabs", "rcab")
+        unstack_group(f"up{i}_rcabs", f"up{i}_rcab", "rcab")
+    return out
 
 
 class Journal:
