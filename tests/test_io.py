@@ -94,3 +94,30 @@ class TestCheckpointRoundtrip:
         m2 = tr2.train_one_epoch()
         assert m1["total"] == pytest.approx(m2["total"], rel=1e-6)
         j.done()
+
+
+class TestLayoutAdaptiveLoading:
+    def test_unrolled_to_scan_and_back(self, tmp_path):
+        import dataclasses
+        from adsr_tpu.models.drct import DRCT
+        cfg_old = DRCTModelConfig(upscale=2, img_size=8, window_size=4,
+                                  in_chans=1, embed_dim=12, num_layers=2,
+                                  num_heads=2, gc=4, scan_layers=False)
+        x = jnp.zeros((1, 8, 8, 1))
+        p_old = DRCT(cfg_old).init(jax.random.key(0), x)["params"]
+        path = str(tmp_path / "old.msgpack")
+        save_params(path, p_old)
+        cfg_new = dataclasses.replace(cfg_old, scan_layers=True)
+        template = DRCT(cfg_new).init(jax.random.key(1), x)["params"]
+        loaded = load_params(path, template)
+        o_old = DRCT(cfg_old).apply({"params": p_old}, x)
+        o_new = DRCT(cfg_new).apply({"params": loaded}, x)
+        np.testing.assert_allclose(np.asarray(o_old), np.asarray(o_new),
+                                   atol=1e-6)
+        # reverse: scan checkpoint into unrolled template
+        path2 = str(tmp_path / "new.msgpack")
+        save_params(path2, loaded)
+        back = load_params(path2, p_old)
+        o_back = DRCT(cfg_old).apply({"params": back}, x)
+        np.testing.assert_allclose(np.asarray(o_old), np.asarray(o_back),
+                                   atol=1e-6)
