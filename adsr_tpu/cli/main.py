@@ -124,6 +124,16 @@ def train(exp: Experiment, resume: bool = False) -> None:
         primal = load_params(exp.pre_train, trainer.state.params["primal"])
         trainer.state = trainer.state.replace(
             params={**trainer.state.params, "primal": primal})
+    if (exp.pre_train_dual != "." and os.path.isfile(exp.pre_train_dual)
+            and "duals" in trainer.state.params):
+        journal.write_log(f"Loading dual model from {exp.pre_train_dual}")
+        duals = trainer.state.params["duals"]
+        loaded = load_params(exp.pre_train_dual,
+                             {str(i): d for i, d in enumerate(duals)})
+        trainer.state = trainer.state.replace(
+            params={**trainer.state.params,
+                    "duals": tuple(loaded[str(i)]
+                                   for i in range(len(duals)))})
     if resume:
         try:
             trainer.state = journal.load_train_state(trainer.state)
