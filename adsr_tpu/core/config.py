@@ -73,6 +73,9 @@ class DRCTModelConfig:
     # copies: ~12x less XLA code (remote compiles drop from ~13min to ~2min).
     # Params gain a leading [num_layers] axis; the torch converter stacks.
     scan_layers: bool = True
+    # tanh-approximate GELU: measured 13% faster forward on v5e (exact erf is
+    # VPU-expensive); default False for numeric parity with the reference.
+    gelu_approx: bool = False
 
     @property
     def scale(self) -> Tuple[int, ...]:

@@ -99,13 +99,14 @@ def window_reverse(x: jnp.ndarray, win: int, h: int, w: int) -> jnp.ndarray:
 class Mlp(nn.Module):
     hidden: int
     out: int
+    gelu_approx: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = nn.Dense(self.hidden, kernel_init=trunc_normal_init(),
                      dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x, approximate=False)
+        x = nn.gelu(x, approximate=self.gelu_approx)
         x = nn.Dense(self.out, kernel_init=trunc_normal_init(),
                      dtype=self.dtype, name="fc2")(x)
         return x
@@ -158,6 +159,7 @@ class SwinBlock(nn.Module):
     shift_size: int
     mlp_ratio: float
     qkv_bias: bool = True
+    gelu_approx: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -193,7 +195,8 @@ class SwinBlock(nn.Module):
         x = shortcut + self._drop_path(x, deterministic, drop_path)
         y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         y = Mlp(hidden=int(self.dim * self.mlp_ratio), out=self.dim,
-                dtype=self.dtype, name="mlp")(y)
+                gelu_approx=self.gelu_approx, dtype=self.dtype,
+                name="mlp")(y)
         return x + self._drop_path(y, deterministic, drop_path)
 
     def _drop_path(self, x: jnp.ndarray, deterministic: bool,
@@ -218,6 +221,7 @@ class RDG(nn.Module):
     mlp_ratio: float
     gc: int
     qkv_bias: bool = True
+    gelu_approx: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -234,6 +238,7 @@ class RDG(nn.Module):
                              num_heads=heads, window_size=self.window_size,
                              shift_size=cur_shift, mlp_ratio=ratio,
                              qkv_bias=self.qkv_bias,
+                             gelu_approx=self.gelu_approx,
                              dtype=self.dtype, name=name)
 
         def adjust(feat, name):
@@ -272,6 +277,7 @@ class _RDGScanBody(nn.Module):
     x_size: Tuple[int, int]
     deterministic: bool
     qkv_bias: bool = True
+    gelu_approx: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -279,7 +285,8 @@ class _RDGScanBody(nn.Module):
         out = RDG(dim=self.dim, input_resolution=self.input_resolution,
                   num_heads=self.num_heads, window_size=self.window_size,
                   mlp_ratio=self.mlp_ratio, gc=self.gc,
-                  qkv_bias=self.qkv_bias, dtype=self.dtype,
+                  qkv_bias=self.qkv_bias, gelu_approx=self.gelu_approx,
+                  dtype=self.dtype,
                   name="rdg")(carry, self.x_size, self.deterministic, dp)
         return out, None
 
@@ -318,7 +325,8 @@ class DRCT(nn.Module):
                           num_heads=cfg.num_heads,
                           window_size=cfg.window_size,
                           mlp_ratio=cfg.mlp_ratio, gc=cfg.gc,
-                          qkv_bias=cfg.qkv_bias, dtype=self.dtype)
+                          qkv_bias=cfg.qkv_bias,
+                          gelu_approx=cfg.gelu_approx, dtype=self.dtype)
         if cfg.scan_layers:
             # one compiled RDG body scanned num_layers times; params carry a
             # leading [num_layers] axis under 'rdgs'
