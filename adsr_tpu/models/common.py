@@ -29,13 +29,22 @@ RGB_MEAN = (0.4488, 0.4371, 0.4040)
 GRAY_MEAN = (0.4440,)
 
 
+# torch nn.Conv2d default init: kaiming_uniform(a=sqrt(5)) == U(-b, b) with
+# b = 1/sqrt(fan_in), i.e. var = 1/(3*fan_in). This matters: DRN chains 40
+# norm-free residual blocks, and flax's LeCun-normal (3x the variance) makes
+# activations explode at init (observed: init loss ~1e5 vs ~1e2).
+torch_conv_init = nn.initializers.variance_scaling(
+    1.0 / 3.0, "fan_in", "uniform")
+
+
 def conv(features: int, kernel_size: int, stride: int = 1, bias: bool = True,
          name: Optional[str] = None, dtype: Dtype = jnp.float32) -> nn.Conv:
-    """3x3/1x1-style conv with torch padding semantics (pad k//2 both sides)."""
+    """3x3/1x1-style conv with torch padding + init semantics."""
     pad = kernel_size // 2
     return nn.Conv(features, (kernel_size, kernel_size),
                    strides=(stride, stride),
                    padding=((pad, pad), (pad, pad)),
+                   kernel_init=torch_conv_init,
                    use_bias=bias, name=name, dtype=dtype)
 
 
@@ -86,9 +95,11 @@ class CALayer(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         y = jnp.mean(x, axis=(1, 2), keepdims=True)
         y = nn.Conv(max(1, self.channel // self.reduction), (1, 1),
+                    kernel_init=torch_conv_init,
                     dtype=self.dtype, name="du_reduce")(y)
         y = nn.relu(y)
-        y = nn.Conv(self.channel, (1, 1), dtype=self.dtype, name="du_expand")(y)
+        y = nn.Conv(self.channel, (1, 1), kernel_init=torch_conv_init,
+                    dtype=self.dtype, name="du_expand")(y)
         y = nn.sigmoid(y)
         return x * y
 

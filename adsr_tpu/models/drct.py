@@ -242,7 +242,9 @@ class RDG(nn.Module):
                              dtype=self.dtype, name=name)
 
         def adjust(feat, name):
-            return nn.Conv(feat, (1, 1), dtype=self.dtype, name=name)
+            from adsr_tpu.models.common import torch_conv_init
+            return nn.Conv(feat, (1, 1), kernel_init=torch_conv_init,
+                           dtype=self.dtype, name=name)
 
         def to_space(t):  # patch-unembed: [B, L, C] -> [B, H, W, C]
             return t.reshape(t.shape[0], h, w, t.shape[-1])

@@ -121,7 +121,9 @@ class DRN(nn.Module):
                              name=f"up{idx}_rcab{b}")(x)
             x = Upsampler(2, up_feats[idx], dtype=self.dtype,
                           name=f"up{idx}_upsampler")(x)
-            x = nn.Conv(proj_feats[idx], (1, 1), dtype=self.dtype,
+            from adsr_tpu.models.common import torch_conv_init
+            x = nn.Conv(proj_feats[idx], (1, 1),
+                        kernel_init=torch_conv_init, dtype=self.dtype,
                         name=f"up{idx}_proj")(x)
             # concat skip copy, U-Net style (src/drn.py:263)
             x = jnp.concatenate([x, copies[phase - idx - 1]], axis=-1)

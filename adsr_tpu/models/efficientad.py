@@ -20,8 +20,10 @@ Dtype = Any
 
 def _conv(feats: int, k: int, stride: int = 1, pad: int = 0, name: str = "",
           dtype: Dtype = jnp.float32) -> nn.Conv:
+    from adsr_tpu.models.common import torch_conv_init
     return nn.Conv(feats, (k, k), strides=(stride, stride),
-                   padding=((pad, pad), (pad, pad)), name=name, dtype=dtype)
+                   padding=((pad, pad), (pad, pad)),
+                   kernel_init=torch_conv_init, name=name, dtype=dtype)
 
 
 def _avg_pool(x: jnp.ndarray, pad: int) -> jnp.ndarray:
