@@ -29,6 +29,9 @@ def main(argv=None):
     p.add_argument("--synthetic-train", type=int, default=24)
     p.add_argument("--use-native", action="store_true",
                    help="use the C++ decode+Lanczos path (within 1 LSB of PIL)")
+    p.add_argument("--no-clean", action="store_true",
+                   help="keep existing target classes (default wipes the "
+                        "target dir, matching the reference prep tool)")
     args = p.parse_args(argv)
 
     from adsr_tpu.data.prepare import (expand_scales, prepare_mvtec_dataset,
@@ -45,9 +48,12 @@ def main(argv=None):
 
     if args.synthetic:
         from adsr_tpu.data.synthetic import generate_synthetic_mvtec
-        if not Path(args.source).exists():
-            print(f"Generating synthetic MVTec-like source at {args.source}")
-            generate_synthetic_mvtec(args.source, classes=classes,
+        missing = tuple(c for c in classes
+                        if not (Path(args.source) / c / "train").exists())
+        if missing:
+            print(f"Generating synthetic MVTec-like source for {missing} "
+                  f"at {args.source}")
+            generate_synthetic_mvtec(args.source, classes=missing,
                                      n_train=args.synthetic_train)
     if not Path(args.source).exists():
         print(f"ERROR: Source data not found at {args.source}")
@@ -61,7 +67,8 @@ def main(argv=None):
                           scale_factors=scale_factors,
                           target_hr=(args.hr_size, args.hr_size),
                           val_ratio=args.val_ratio, seed=args.seed,
-                          use_native=args.use_native)
+                          use_native=args.use_native,
+                          clean=not args.no_clean)
     report = verify_dataset_structure(target, classes=classes)
     for classe, counts in report.items():
         print(f"  {classe}: " + ", ".join(f"{k}={v}" for k, v in counts.items()))
