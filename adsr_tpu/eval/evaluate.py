@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from adsr_tpu.core.config import Experiment
 from adsr_tpu.data.pipeline import SRDataset, load_sr_dataset
 from adsr_tpu.eval.auc import roc_auc
-from adsr_tpu.metrics import mse_eval, psnr_eval, ssim_eval
+from adsr_tpu.metrics import mse_eval, psnr_eval
 from adsr_tpu.train.trainer import make_eval_forward
 
 

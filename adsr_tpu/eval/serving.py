@@ -14,8 +14,7 @@ compiled batch size.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

@@ -12,7 +12,7 @@ down-phase block and the dual-regression model mapping SR back to LR
 from __future__ import annotations
 
 import math
-from typing import Any, List, Sequence, Tuple
+from typing import Any, List
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -11,7 +11,7 @@ from adsr_tpu.core.config import (
     DRCTModelConfig, DRNModelConfig, EfficientADModelConfig, ModelConfig,
 )
 from adsr_tpu.models.drct import DRCT
-from adsr_tpu.models.drn import DRN, DownBlock, make_dual_models
+from adsr_tpu.models.drn import DRN, make_dual_models
 
 
 def compute_dtype(precision: str):

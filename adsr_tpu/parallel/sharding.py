@@ -18,10 +18,9 @@ mesh axis) multi-host DCN.
 from __future__ import annotations
 
 import re
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from adsr_tpu.core.config import Experiment
