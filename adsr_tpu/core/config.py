@@ -76,6 +76,10 @@ class DRCTModelConfig:
     # tanh-approximate GELU: measured 13% faster forward on v5e (exact erf is
     # VPU-expensive); default False for numeric parity with the reference.
     gelu_approx: bool = False
+    # rematerialize each RDG in the backward pass (jax.checkpoint over the
+    # scan body): trades ~2x RDG recompute for ~12x less activation memory —
+    # required to train 256px inputs (4096 tokens) within 16GB HBM.
+    remat: bool = True
 
     @property
     def scale(self) -> Tuple[int, ...]:

@@ -331,9 +331,11 @@ class DRCT(nn.Module):
                           gelu_approx=cfg.gelu_approx, dtype=self.dtype)
         if cfg.scan_layers:
             # one compiled RDG body scanned num_layers times; params carry a
-            # leading [num_layers] axis under 'rdgs'
+            # leading [num_layers] axis under 'rdgs'. With remat, each RDG's
+            # activations are recomputed in backward instead of stored.
+            body_cls = nn.remat(_RDGScanBody) if cfg.remat else _RDGScanBody
             scanned = nn.scan(
-                _RDGScanBody,
+                body_cls,
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
                 length=cfg.num_layers,
