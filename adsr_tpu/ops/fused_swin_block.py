@@ -1,0 +1,251 @@
+"""Fused SwinBlock forward as a single Pallas TPU kernel.
+
+Motivation (ARCHITECTURE.md bandwidth audit): the XLA path makes ~10 HBM round
+trips per swin block over ~16 MB activations; this kernel keeps one image's
+tokens resident in VMEM through LN1 -> qkv -> per-window attention -> proj ->
+residual -> LN2 -> MLP -> residual.
+
+Weight packing (host-side, once): lanes padded to 128 multiples and qkv/proj
+rearranged into per-(head, q/k/v) 128-aligned slabs so no in-kernel lane
+relayouts occur. Padded input lanes carry zeros; LN statistics divide by the
+TRUE channel count and packed weight rows/biases for padded lanes are zero, so
+padding never leaks into results.
+
+Window gather: each 8x8 window is assembled from 8 strided row-slices of the
+[1024, C] token block (with static wrap-around slices for the shifted case),
+attention computed per (window, head) with the additive bias+mask term, and
+scattered back — all static Python loops at trace time, pure 2-D ops for
+Mosaic.
+
+Status: forward-only, numerically verified in interpret mode against the XLA
+SwinBlock; integration behind a flag once hardware microbenchmarks confirm the
+win (round-2 plan).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    pltpu = None
+    _HAS_PLTPU = False
+
+_INTERPRET = os.environ.get("ADSR_TPU_PALLAS_INTERPRET", "0") == "1"
+
+
+def _rup(x: int, m: int = 128) -> int:
+    return (x + m - 1) // m * m
+
+
+def pack_swin_weights(params: Dict, c: int, num_heads: int,
+                      window: int) -> Dict[str, np.ndarray]:
+    """Repack a SwinBlock param tree into kernel layout (host-side, once).
+
+    Only the channel axes are zero-padded to 128-lane multiples; head dims
+    stay unpadded (per-head lane slices inside VMEM are cheap, while padding
+    hd 30->128 would inflate qkv/proj FLOPs ~6x for the 6-head dims).
+    """
+    hd = c // num_heads
+    c_p = _rup(c)
+    c3_p = _rup(3 * c)
+    qkv_k = np.asarray(params["attn"]["qkv"]["kernel"])      # [C, 3C]
+    qkv_b = np.asarray(params["attn"]["qkv"]["bias"])
+    wq = np.zeros((c_p, c3_p), np.float32)
+    wq[:c, :3 * c] = qkv_k
+    bq = np.zeros((1, c3_p), np.float32)
+    bq[0, :3 * c] = qkv_b
+
+    proj_k = np.asarray(params["attn"]["proj"]["kernel"])    # [C, C]
+    wp = np.zeros((c_p, c_p), np.float32)
+    wp[:c, :c] = proj_k
+    bp = np.zeros((1, c_p), np.float32)
+    bp[0, :c] = np.asarray(params["attn"]["proj"]["bias"])
+
+    fc1_k = np.asarray(params["mlp"]["fc1"]["kernel"])       # [C, F]
+    f = fc1_k.shape[1]
+    f_p = _rup(f)
+    w1 = np.zeros((c_p, f_p), np.float32)
+    w1[:c, :f] = fc1_k
+    b1 = np.zeros((1, f_p), np.float32)
+    b1[0, :f] = np.asarray(params["mlp"]["fc1"]["bias"])
+    fc2_k = np.asarray(params["mlp"]["fc2"]["kernel"])       # [F, C]
+    w2 = np.zeros((f_p, c_p), np.float32)
+    w2[:f, :c] = fc2_k
+    b2 = np.zeros((1, c_p), np.float32)
+    b2[0, :c] = np.asarray(params["mlp"]["fc2"]["bias"])
+
+    def ln(p):
+        s = np.zeros((1, c_p), np.float32)
+        b = np.zeros((1, c_p), np.float32)
+        s[0, :c] = np.asarray(p["scale"])
+        b[0, :c] = np.asarray(p["bias"])
+        return s, b
+
+    ln1_s, ln1_b = ln(params["norm1"])
+    ln2_s, ln2_b = ln(params["norm2"])
+
+    # additive attention term [H, N, N]: relative position bias
+    from adsr_tpu.models.drct import relative_position_index
+    table = np.asarray(params["attn"]["relative_position_bias_table"])
+    n = window * window
+    rpi = relative_position_index(window).reshape(-1)
+    bias = table[rpi].reshape(n, n, num_heads).transpose(2, 0, 1)
+
+    return {"wqkv": wq, "bqkv": bq, "wproj": wp, "bproj": bp,
+            "w1": w1, "b1": b1, "w2": w2, "b2": b2,
+            "ln1_s": ln1_s, "ln1_b": ln1_b, "ln2_s": ln2_s, "ln2_b": ln2_b,
+            "bias": bias.astype(np.float32)}
+
+
+def _window_row_slices(h: int, w: int, win: int, shift: int):
+    """Static gather plan: for each window, the list of (dst_row, src_start,
+    width, dst_col) copies assembling its [win*win] token rows from the
+    (shifted) [H*W] token sequence."""
+    plans = []
+    for wi in range(h // win):
+        for wj in range(w // win):
+            copies = []
+            for r in range(win):
+                src_row = (wi * win + r + shift) % h
+                col0 = (wj * win + shift) % w
+                if col0 + win <= w:
+                    copies.append((r * win, src_row * w + col0, win))
+                else:
+                    k = w - col0
+                    copies.append((r * win, src_row * w + col0, k))
+                    copies.append((r * win + k, src_row * w, win - k))
+            plans.append(copies)
+    return plans
+
+
+def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+            w1_ref, b1_ref, w2_ref, b2_ref,
+            ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref, a_ref,
+            o_ref, qkv_scr, win_scr, ctx_scr,
+            *, c: int, c_p: int, nh: int, n: int,
+            plans, inv_plans, f_p: int):
+    x = x_ref[0]                                     # [L, C_p]
+    l = x.shape[0]
+    hd = c // nh
+
+    def layer_norm(t, s_ref, b_ref):
+        mu = jnp.sum(t, axis=-1, keepdims=True) / c
+        d = t - mu
+        # padded lanes hold -mu after centering; the zero-padded scale zeroes
+        # them; stats divide by the TRUE channel count
+        var = (jnp.sum(t * t, axis=-1, keepdims=True) / c) - mu * mu
+        inv = jax.lax.rsqrt(var + 1e-6)
+        return (d * inv) * s_ref[0] + b_ref[0]
+
+    y = layer_norm(x, ln1s_ref, ln1b_ref)
+    qkv_scr[:, :] = (jnp.dot(y, wqkv_ref[...],
+                             preferred_element_type=jnp.float32)
+                     + bqkv_ref[0]).astype(qkv_scr.dtype)
+
+    scale = hd ** -0.5
+    nw = len(plans)
+    ctx_scr[:, :] = jnp.zeros_like(ctx_scr)  # padded lanes must be 0, not junk
+    for wdx in range(nw):
+        # assemble this window's qkv rows into scratch
+        for dst, src, width in plans[wdx]:
+            win_scr[dst:dst + width, :] = qkv_scr[src:src + width, :]
+        for h in range(nh):
+            qo = 0 * c + h * hd
+            ko = 1 * c + h * hd
+            vo = 2 * c + h * hd
+            q = win_scr[:, qo:qo + hd] * scale
+            k = win_scr[:, ko:ko + hd]
+            v = win_scr[:, vo:vo + hd]
+            s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+            s = s + a_ref[wdx, h]
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            ctx_scr[wdx * n:(wdx + 1) * n, h * hd:(h + 1) * hd] = jnp.dot(
+                p.astype(v.dtype), v,
+                preferred_element_type=jnp.float32).astype(ctx_scr.dtype)
+
+    # undo the window permutation into qkv_scr reused as [L, C_p] context
+    for wdx in range(nw):
+        for dst, src, width in inv_plans[wdx]:
+            qkv_scr[dst:dst + width, :c_p] = ctx_scr[src:src + width, :c_p]
+
+    ctx = qkv_scr[:, :c_p]
+    x = x + (jnp.dot(ctx, wproj_ref[...],
+                     preferred_element_type=jnp.float32) + bproj_ref[0])
+
+    y = layer_norm(x, ln2s_ref, ln2b_ref)
+    hmid = jnp.dot(y, w1_ref[...], preferred_element_type=jnp.float32) \
+        + b1_ref[0]
+    hmid = jax.nn.gelu(hmid, approximate=False)
+    x = x + (jnp.dot(hmid, w2_ref[...],
+                     preferred_element_type=jnp.float32) + b2_ref[0])
+    o_ref[0] = x.astype(o_ref.dtype)
+
+
+def fused_swin_block(x: jnp.ndarray, packed: Dict[str, jnp.ndarray],
+                     h: int, w: int, window: int, shift: int,
+                     num_heads: int, c: int,
+                     mask: Optional[np.ndarray] = None) -> jnp.ndarray:
+    """x: [B, L, C] tokens -> [B, L, C]; one program per image."""
+    if not _HAS_PLTPU:
+        raise NotImplementedError
+    b, l, _ = x.shape
+    n = window * window
+    c_p = _rup(c)
+    c3_p = packed["wqkv"].shape[1]
+    f_p = packed["w1"].shape[1]
+
+    xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, 0), (0, c_p - c)))
+
+    # additive term per (window, head): bias broadcast (+ mask when shifted)
+    bias = packed["bias"]                              # [H, N, N]
+    nw = (h // window) * (w // window)
+    a = np.broadcast_to(bias[None], (nw, num_heads, n, n)).copy()
+    if mask is not None:
+        a += mask[:, None]
+    a = jnp.asarray(a)
+
+    plans = _window_row_slices(h, w, window, shift)
+    # inverse plan: window rows -> token rows (same copies, swapped src/dst)
+    inv_plans = []
+    for wdx, copies in enumerate(plans):
+        inv = [(src, wdx * n + dst, width) for dst, src, width in copies]
+        inv_plans.append(inv)
+
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    grid = (b,)
+    kernel = functools.partial(
+        _kernel, c=c, c_p=c_p, nh=num_heads, n=n,
+        plans=tuple(tuple(p) for p in plans),
+        inv_plans=tuple(tuple(p) for p in inv_plans), f_p=f_p)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, l, c_p), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)]
+        + [vmem()] * 13,
+        out_specs=pl.BlockSpec((1, l, c_p), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, l, c_p), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((l, c3_p), jnp.float32),
+            pltpu.VMEM((n, c3_p), jnp.float32),
+            pltpu.VMEM((l, c_p), jnp.float32),
+        ],
+        interpret=_INTERPRET,
+    )(xp, packed["wqkv"], packed["bqkv"], packed["wproj"], packed["bproj"],
+      packed["w1"], packed["b1"], packed["w2"], packed["b2"],
+      packed["ln1_s"], packed["ln1_b"], packed["ln2_s"], packed["ln2_b"], a)
+    return out[:, :, :c]
