@@ -188,7 +188,16 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     y = layer_norm(x, ln2s_ref, ln2b_ref)
     hmid = jnp.dot(y, w1_ref[...], preferred_element_type=jnp.float32) \
         + b1_ref[0]
-    hmid = jax.nn.gelu(hmid, approximate=False)
+    # exact-form gelu; Mosaic lowers neither erf nor erfc, so erf comes from
+    # the Abramowitz-Stegun 7.1.26 polynomial (max abs err 1.5e-7)
+    z = hmid * (2.0 ** -0.5)
+    az = jnp.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * az)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    erf_abs = 1.0 - poly * jnp.exp(-az * az)
+    erf_z = jnp.sign(z) * erf_abs
+    hmid = 0.5 * hmid * (1.0 + erf_z)
     x = x + (jnp.dot(hmid, w2_ref[...],
                      preferred_element_type=jnp.float32) + b2_ref[0])
     o_ref[0] = x.astype(o_ref.dtype)
@@ -210,12 +219,11 @@ def fused_swin_block(x: jnp.ndarray, packed: Dict[str, jnp.ndarray],
     xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, 0), (0, c_p - c)))
 
     # additive term per (window, head): bias broadcast (+ mask when shifted)
-    bias = packed["bias"]                              # [H, N, N]
+    bias = jnp.asarray(packed["bias"])                 # [H, N, N]
     nw = (h // window) * (w // window)
-    a = np.broadcast_to(bias[None], (nw, num_heads, n, n)).copy()
+    a = jnp.broadcast_to(bias[None], (nw, num_heads, n, n))
     if mask is not None:
-        a += mask[:, None]
-    a = jnp.asarray(a)
+        a = a + jnp.asarray(mask)[:, None]
 
     plans = _window_row_slices(h, w, window, shift)
     # inverse plan: window rows -> token rows (same copies, swapped src/dst)
