@@ -108,6 +108,47 @@ def pack_swin_weights(params: Dict, c: int, num_heads: int,
             "bias": bias.astype(np.float32)}
 
 
+def pack_swin_weights_jnp(params: Dict, c: int, num_heads: int,
+                          window: int, dtype=jnp.bfloat16) -> Dict:
+    """Device-side twin of pack_swin_weights (jnp ops, usable under jit —
+    e.g. on nn.scan-sliced per-layer params). Pads channel lanes only."""
+    c_p = _rup(c)
+    c3_p = _rup(3 * c)
+
+    def pad2(m, rows, cols, dt):
+        m = jnp.asarray(m, jnp.float32)
+        return jnp.pad(m, ((0, rows - m.shape[0]),
+                           (0, cols - m.shape[1]))).astype(dt)
+
+    def pad_row(v, cols):
+        v = jnp.asarray(v, jnp.float32).reshape(1, -1)
+        return jnp.pad(v, ((0, 0), (0, cols - v.shape[1])))
+
+    f = params["mlp"]["fc1"]["kernel"].shape[1]
+    f_p = _rup(f)
+    from adsr_tpu.models.drct import relative_position_index
+    n = window * window
+    rpi = jnp.asarray(relative_position_index(window).reshape(-1))
+    table = jnp.asarray(params["attn"]["relative_position_bias_table"],
+                        jnp.float32)
+    bias = table[rpi].reshape(n, n, num_heads).transpose(2, 0, 1)
+    return {
+        "wqkv": pad2(params["attn"]["qkv"]["kernel"], c_p, c3_p, dtype),
+        "bqkv": pad_row(params["attn"]["qkv"]["bias"], c3_p),
+        "wproj": pad2(params["attn"]["proj"]["kernel"], c_p, c_p, dtype),
+        "bproj": pad_row(params["attn"]["proj"]["bias"], c_p),
+        "w1": pad2(params["mlp"]["fc1"]["kernel"], c_p, f_p, dtype),
+        "b1": pad_row(params["mlp"]["fc1"]["bias"], f_p),
+        "w2": pad2(params["mlp"]["fc2"]["kernel"], f_p, c_p, dtype),
+        "b2": pad_row(params["mlp"]["fc2"]["bias"], c_p),
+        "ln1_s": pad_row(params["norm1"]["scale"], c_p),
+        "ln1_b": pad_row(params["norm1"]["bias"], c_p),
+        "ln2_s": pad_row(params["norm2"]["scale"], c_p),
+        "ln2_b": pad_row(params["norm2"]["bias"], c_p),
+        "bias": bias,
+    }
+
+
 def _window_row_slices(h: int, w: int, win: int, shift: int):
     """Static gather plan: for each window, the list of (dst_row, src_start,
     width, dst_col) copies assembling its [win*win] token rows from the
@@ -135,7 +176,8 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
             o_ref, qkv_scr, win_scr, ctx_scr,
             *, c: int, c_p: int, nh: int, n: int,
             plans, inv_plans, f_p: int):
-    x = x_ref[0]                                     # [L, C_p]
+    mm = x_ref.dtype                                 # matmul dtype (bf16/f32)
+    x = x_ref[0].astype(jnp.float32)                 # [L, C_p]
     l = x.shape[0]
     hd = c // nh
 
@@ -148,7 +190,7 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
         inv = jax.lax.rsqrt(var + 1e-6)
         return (d * inv) * s_ref[0] + b_ref[0]
 
-    y = layer_norm(x, ln1s_ref, ln1b_ref)
+    y = layer_norm(x, ln1s_ref, ln1b_ref).astype(mm)
     qkv_scr[:, :] = (jnp.dot(y, wqkv_ref[...],
                              preferred_element_type=jnp.float32)
                      + bqkv_ref[0]).astype(qkv_scr.dtype)
@@ -181,11 +223,11 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
         for dst, src, width in inv_plans[wdx]:
             qkv_scr[dst:dst + width, :c_p] = ctx_scr[src:src + width, :c_p]
 
-    ctx = qkv_scr[:, :c_p]
+    ctx = qkv_scr[:, :c_p].astype(mm)
     x = x + (jnp.dot(ctx, wproj_ref[...],
                      preferred_element_type=jnp.float32) + bproj_ref[0])
 
-    y = layer_norm(x, ln2s_ref, ln2b_ref)
+    y = layer_norm(x, ln2s_ref, ln2b_ref).astype(mm)
     hmid = jnp.dot(y, w1_ref[...], preferred_element_type=jnp.float32) \
         + b1_ref[0]
     # exact-form gelu; Mosaic lowers neither erf nor erfc, so erf comes from
@@ -198,7 +240,7 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     erf_abs = 1.0 - poly * jnp.exp(-az * az)
     erf_z = jnp.sign(z) * erf_abs
     hmid = 0.5 * hmid * (1.0 + erf_z)
-    x = x + (jnp.dot(hmid, w2_ref[...],
+    x = x + (jnp.dot(hmid.astype(mm), w2_ref[...],
                      preferred_element_type=jnp.float32) + b2_ref[0])
     o_ref[0] = x.astype(o_ref.dtype)
 
@@ -216,7 +258,8 @@ def fused_swin_block(x: jnp.ndarray, packed: Dict[str, jnp.ndarray],
     c3_p = packed["wqkv"].shape[1]
     f_p = packed["w1"].shape[1]
 
-    xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, 0), (0, c_p - c)))
+    # keep the caller's dtype: bf16 x + bf16 packed weights run MXU bf16
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, c_p - c)))
 
     # additive term per (window, head): bias broadcast (+ mask when shifted)
     bias = jnp.asarray(packed["bias"])                 # [H, N, N]
@@ -248,10 +291,13 @@ def fused_swin_block(x: jnp.ndarray, packed: Dict[str, jnp.ndarray],
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, l, c_p), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((l, c3_p), jnp.float32),
-            pltpu.VMEM((n, c3_p), jnp.float32),
-            pltpu.VMEM((l, c_p), jnp.float32),
+            pltpu.VMEM((l, c3_p), x.dtype),
+            pltpu.VMEM((n, c3_p), x.dtype),
+            pltpu.VMEM((l, c_p), x.dtype),
         ],
+        compiler_params=(pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024) if _HAS_PLTPU and not _INTERPRET
+            else None),
         interpret=_INTERPRET,
     )(xp, packed["wqkv"], packed["bqkv"], packed["wproj"], packed["bproj"],
       packed["w1"], packed["b1"], packed["w2"], packed["b2"],
