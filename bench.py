@@ -41,10 +41,23 @@ def main() -> None:
     model = make_model(exp.model, exp.precision)
     params, _ = init_sr_params(exp.model, jax.random.key(0), exp.precision)
 
+    # serving path: fused Pallas SwinBlocks on TPU (ops/fused_drct.py),
+    # XLA model otherwise — same dispatch the evaluator uses
+    use_fused = jax.default_backend() not in ("cpu",)
+    if use_fused:
+        from adsr_tpu.ops.fused_drct import fused_drct_forward
+
+        def fwd(params, x):
+            return fused_drct_forward(params, exp.model, x,
+                                      dtype=jnp.bfloat16)
+    else:
+        def fwd(params, x):
+            return model.apply({"params": params}, x, deterministic=True)
+
     @jax.jit
     def loop(params, x):
         def body(x, _):
-            o = model.apply({"params": params}, x, deterministic=True)
+            o = fwd(params, x)
             # derive next input from the output -> no execution can be elided
             nxt = jnp.clip(
                 o.reshape(BATCH, 32, 4, 32, 4, 1).mean(axis=(2, 4)),
