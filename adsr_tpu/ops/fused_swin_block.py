@@ -149,6 +149,11 @@ def pack_swin_weights_jnp(params: Dict, c: int, num_heads: int,
     }
 
 
+def _attn_group(nw: int, n: int) -> int:
+    """Windows per attention matmul: pairs when a [2N, 2N] tile fits MXU rows."""
+    return 2 if (nw % 2 == 0 and 2 * n <= 128) else 1
+
+
 def _window_row_slices(h: int, w: int, win: int, shift: int):
     """Static gather plan: for each window, the list of (dst_row, src_start,
     width, dst_col) copies assembling its [win*win] token rows from the
@@ -198,23 +203,30 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     scale = hd ** -0.5
     nw = len(plans)
     ctx_scr[:, :] = jnp.zeros_like(ctx_scr)  # padded lanes must be 0, not junk
-    for wdx in range(nw):
-        # assemble this window's qkv rows into scratch
-        for dst, src, width in plans[wdx]:
-            win_scr[dst:dst + width, :] = qkv_scr[src:src + width, :]
+    # windows processed in pairs: [2N, 2N] score tiles fill MXU rows; the
+    # additive term is block-diagonal with -1e30 off-diagonal, so grouped
+    # softmax is exactly per-window softmax
+    group = _attn_group(nw, n)
+    gn = group * n
+    for j in range(nw // group):
+        for g in range(group):
+            wdx = j * group + g
+            for dst, src, width in plans[wdx]:
+                win_scr[g * n + dst:g * n + dst + width, :] = \
+                    qkv_scr[src:src + width, :]
         for h in range(nh):
             qo = 0 * c + h * hd
             ko = 1 * c + h * hd
             vo = 2 * c + h * hd
-            q = win_scr[:, qo:qo + hd] * scale
-            k = win_scr[:, ko:ko + hd]
-            v = win_scr[:, vo:vo + hd]
+            q = win_scr[:gn, qo:qo + hd] * scale
+            k = win_scr[:gn, ko:ko + hd]
+            v = win_scr[:gn, vo:vo + hd]
             s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
-            s = s + a_ref[wdx, h]
+            s = s + a_ref[j, h]
             s = s - jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s)
             p = p / jnp.sum(p, axis=-1, keepdims=True)
-            ctx_scr[wdx * n:(wdx + 1) * n, h * hd:(h + 1) * hd] = jnp.dot(
+            ctx_scr[j * gn:(j + 1) * gn, h * hd:(h + 1) * hd] = jnp.dot(
                 p.astype(v.dtype), v,
                 preferred_element_type=jnp.float32).astype(ctx_scr.dtype)
 
@@ -267,6 +279,15 @@ def fused_swin_block(x: jnp.ndarray, packed: Dict[str, jnp.ndarray],
     a = jnp.broadcast_to(bias[None], (nw, num_heads, n, n))
     if mask is not None:
         a = a + jnp.asarray(mask)[:, None]
+    group = _attn_group(nw, n)
+    if group == 2:
+        # pair-block-diagonal with -1e30 off-diagonal (per-window softmax)
+        ap = a.reshape(nw // 2, 2, num_heads, n, n)
+        big = jnp.full((nw // 2, num_heads, 2 * n, 2 * n), -1e30,
+                       jnp.float32)
+        big = big.at[:, :, :n, :n].set(ap[:, 0])
+        big = big.at[:, :, n:, n:].set(ap[:, 1])
+        a = big
 
     plans = _window_row_slices(h, w, window, shift)
     # inverse plan: window rows -> token rows (same copies, swapped src/dst)
@@ -292,7 +313,7 @@ def fused_swin_block(x: jnp.ndarray, packed: Dict[str, jnp.ndarray],
         out_shape=jax.ShapeDtypeStruct((b, l, c_p), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((l, c3_p), x.dtype),
-            pltpu.VMEM((n, c3_p), x.dtype),
+            pltpu.VMEM((group * n, c3_p), x.dtype),
             pltpu.VMEM((l, c_p), x.dtype),
         ],
         compiler_params=(pltpu.CompilerParams(
