@@ -35,17 +35,33 @@ class AnomalyServer:
         self._entries: Dict[str, Tuple[Experiment, dict, object]] = {}
 
     def register(self, name: str, exp: Experiment, params) -> None:
+        import os
+
+        from adsr_tpu.core.config import DRCTModelConfig
         model = make_model(exp.model, exp.precision)
         rgb_range = exp.data.rgb_range
         n_colors = exp.data.n_colors
         win = self.ssim_window
+        # DRCT on TPU serves through the fused Pallas forward (same dispatch
+        # as make_eval_forward; ADSR_TPU_FUSED=0 opts out)
+        use_fused = (isinstance(exp.model, DRCTModelConfig)
+                     and exp.model.scan_layers
+                     and os.environ.get("ADSR_TPU_FUSED", "auto") != "0"
+                     and jax.default_backend() not in ("cpu",))
+        if use_fused:
+            from adsr_tpu.models.factory import compute_dtype
+            from adsr_tpu.ops.fused_drct import fused_drct_forward
+            dtype = compute_dtype(exp.precision)
 
         @jax.jit
         def score(params, lr_u8, hr_u8):
             # channel conversion + pixel scaling as the data pipeline does
             lr = _prep(lr_u8, n_colors, rgb_range)
             hr = _prep(hr_u8, n_colors, rgb_range)
-            sr = model.apply({"params": params}, lr, deterministic=True)
+            if use_fused:
+                sr = fused_drct_forward(params, exp.model, lr, dtype=dtype)
+            else:
+                sr = model.apply({"params": params}, lr, deterministic=True)
             if isinstance(sr, (list, tuple)):
                 sr = sr[-1]
             sr = sr[:, :hr.shape[1], :hr.shape[2], :]

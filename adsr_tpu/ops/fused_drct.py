@@ -80,8 +80,8 @@ def fused_drct_forward(params: Dict, cfg: DRCTModelConfig,
         outs = [t]
         for k in range(5):
             inp = outs[0] if k == 0 else jnp.concatenate(outs, axis=-1)
-            blk = jax.tree_util.tree_map(lambda v: v, layer_params[f"swin{k+1}"])
-            packed = pack_swin_weights_jnp(blk, feats[k], heads[k], win,
+            packed = pack_swin_weights_jnp(layer_params[f"swin{k+1}"],
+                                           feats[k], heads[k], win,
                                            dtype=dtype)
             y = fused_swin_block(inp.astype(dtype), packed, h, w, win,
                                  shifts[k], heads[k], feats[k],
