@@ -140,11 +140,14 @@ class OptimConfig:
 
 @dataclass(frozen=True)
 class MeshConfig:
-    """Device-mesh layout: dp x tp. dp shards the batch over ICI; tp shards the
-    attention/MLP channel dimension of DRCT. Sizes of -1 mean "all devices on
-    the dp axis" (the workload's natural default — see SURVEY.md section 2.9)."""
+    """Device-mesh layout: (dcn x) dp x tp. dp shards the batch over ICI; tp
+    shards the attention/MLP channel dimension of DRCT; dcn is an optional
+    outer data-parallel axis for multi-host pod slices (dcn=1 collapses to the
+    2-D mesh). Sizes of -1 mean "all devices on the dp axis" (the workload's
+    natural default — see SURVEY.md section 2.9)."""
     dp: int = -1
     tp: int = 1
+    dcn: int = 1
 
 
 @dataclass(frozen=True)

@@ -39,6 +39,15 @@ class TestMesh:
         with pytest.raises(ValueError):
             make_mesh(MeshConfig(dp=3, tp=2))
 
+    def test_dcn_mesh_shapes(self):
+        """Multi-host layout: outer DCN data axis (SURVEY 5.8)."""
+        m = make_mesh(MeshConfig(dcn=2, dp=4, tp=1))
+        assert m.shape == {"dcn": 2, "dp": 4, "tp": 1}
+        m = make_mesh(MeshConfig(dcn=2, dp=-1, tp=2))
+        assert m.shape == {"dcn": 2, "dp": 2, "tp": 2}
+        with pytest.raises(ValueError):
+            make_mesh(MeshConfig(dcn=3, dp=2, tp=1))
+
 
 class TestShardingRules:
     def test_tp_specs(self):
@@ -68,6 +77,27 @@ class TestParallelStep:
         hr = jnp.asarray(rng.rand(8, 16, 16, 1), jnp.float32)
         metrics = tr.step(lrs, hr, 1e-3, jax.random.key(1))
         assert np.isfinite(float(metrics["total"]))
+
+    def test_drct_dcn_dp_step(self):
+        """Full train step over the 3-axis (dcn, dp, tp) multi-host layout;
+        numerics must match the flat 8-way dp run (same batch, same seed)."""
+        model = drct_model()
+        rng = np.random.RandomState(0)
+        lrs = [jnp.asarray(rng.rand(8, 8, 8, 1), jnp.float32)]
+        hr = jnp.asarray(rng.rand(8, 16, 16, 1), jnp.float32)
+
+        exp_dcn = tiny_exp(model, (2,), MeshConfig(dcn=2, dp=4, tp=1))
+        tr_dcn = ParallelTrainer(exp_dcn, make_mesh(exp_dcn.mesh),
+                                 key=jax.random.key(0))
+        m_dcn = tr_dcn.step(lrs, hr, 1e-3, jax.random.key(1))
+
+        exp_flat = tiny_exp(model, (2,), MeshConfig(dp=8, tp=1))
+        tr_flat = ParallelTrainer(exp_flat, make_mesh(exp_flat.mesh),
+                                  key=jax.random.key(0))
+        m_flat = tr_flat.step(lrs, hr, 1e-3, jax.random.key(1))
+
+        assert float(m_dcn["total"]) == pytest.approx(
+            float(m_flat["total"]), rel=1e-5)
 
     def test_drn_dp_step(self):
         model = DRNModelConfig(scale=(2, 4), n_blocks=1, n_feats=8, n_colors=1)
