@@ -27,16 +27,19 @@ from adsr_tpu.core.config import Experiment
 from adsr_tpu.data.pipeline import SRDataset, load_sr_dataset
 from adsr_tpu.eval.auc import roc_auc
 from adsr_tpu.metrics import mse_eval, psnr_eval
-from adsr_tpu.train.trainer import make_eval_forward
+from adsr_tpu.train.trainer import make_serving_forward
 
 
-def _forward_split(exp: Experiment, params, ds: SRDataset, batch: int = 8,
+def _forward_split(forward, exp: Experiment, ds: SRDataset, batch: int = 8,
                    mesh=None) -> Tuple[np.ndarray, np.ndarray]:
     """Run SR over a split; returns (sr_u8, hr_u8) as [N,H,W,C] uint8.
 
+    ``forward`` is a single-arg closure from make_serving_forward — built
+    ONCE per evaluation so the good/bad splits share one compiled graph and
+    one prepacked weight tree.
+
     With a mesh, eval batches are dp-sharded over ICI (batch-parallel eval —
     the multi-chip path the reference has no analogue for)."""
-    forward = make_eval_forward(exp)
     put = None
     if mesh is not None:
         from adsr_tpu.core.mesh import batch_sharding
@@ -51,7 +54,7 @@ def _forward_split(exp: Experiment, params, ds: SRDataset, batch: int = 8,
         if pad:
             chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
         dev = jnp.asarray(chunk) if put is None else put(jnp.asarray(chunk))
-        sr = np.asarray(forward(params, dev))
+        sr = np.asarray(forward(dev))
         outs.append(sr[:sr.shape[0] - pad] if pad else sr)
     sr = np.concatenate(outs)
     h, w = ds.hr.shape[1], ds.hr.shape[2]
@@ -122,8 +125,9 @@ def evaluate_anomaly(exp: Experiment, params, data_root: str,
 
     ds_good, ds_bad = load("good"), load("bad")
 
-    sr_g, hr_g = _forward_split(exp, params, ds_good, batch, mesh)
-    sr_b, hr_b = _forward_split(exp, params, ds_bad, batch, mesh)
+    forward = make_serving_forward(exp, params)
+    sr_g, hr_g = _forward_split(forward, exp, ds_good, batch, mesh)
+    sr_b, hr_b = _forward_split(forward, exp, ds_bad, batch, mesh)
     sr_u8 = np.concatenate([sr_g, sr_b])
     hr_u8 = np.concatenate([hr_g, hr_b])
     y_true = [0] * len(sr_g) + [1] * len(sr_b)

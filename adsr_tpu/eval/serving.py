@@ -50,8 +50,12 @@ class AnomalyServer:
                      and jax.default_backend() not in ("cpu",))
         if use_fused:
             from adsr_tpu.models.factory import compute_dtype
-            from adsr_tpu.ops.fused_drct import fused_drct_forward
+            from adsr_tpu.ops.fused_drct import fused_drct_apply, prepack_drct
             dtype = compute_dtype(exp.precision)
+            img = exp.model.img_size
+            # pack weights + attention bias ONCE at registration; every
+            # scoring call then consumes ready kernel-layout tensors
+            params = prepack_drct(params, exp.model, img, img, dtype=dtype)
 
         @jax.jit
         def score(params, lr_u8, hr_u8):
@@ -59,7 +63,7 @@ class AnomalyServer:
             lr = _prep(lr_u8, n_colors, rgb_range)
             hr = _prep(hr_u8, n_colors, rgb_range)
             if use_fused:
-                sr = fused_drct_forward(params, exp.model, lr, dtype=dtype)
+                sr = fused_drct_apply(params, exp.model, lr, dtype=dtype)
             else:
                 sr = model.apply({"params": params}, lr, deterministic=True)
             if isinstance(sr, (list, tuple)):

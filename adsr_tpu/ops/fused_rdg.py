@@ -1,0 +1,302 @@
+"""Fused Residual Dense Group forward: one Pallas program per (image, RDG).
+
+Round-1's ``fused_swin_block`` kept tokens VMEM-resident through ONE swin
+block but bounced to XLA between blocks for the 1x1 adjust conv, the dense
+concat, and the residual (~10 HBM round trips per RDG over ~16 MB of
+activations — the remaining bandwidth tax identified in ARCHITECTURE.md's
+audit). This kernel runs the WHOLE RDG (reference src/drct.py:322-396):
+
+    for k in 0..4:   # 5 swin blocks, shift pattern 0/w2/0/w2/0
+        x_k   = SwinBlock_k(cat[:, :c_k])          # c_k = dim + k*gc
+        adj_k = leaky_relu(x_k @ W_adj_k + b_adj_k)  # 1x1 conv == matmul
+        cat[:, c_k:c_k+gc] += adj_k                # dense concat growth
+    out = 0.2 * adj_5 + x_in                       # src/drct.py:394
+
+entirely inside VMEM. Two tricks make every tensor op lane-aligned:
+
+- the concat buffer is one [L, CAT_P] scratch, zero-initialised; adjust
+  weights are PRE-POSITIONED at pack time into [c_p_k, CAT_P] with the 1x1
+  kernel occupying columns [c_k, c_k+gc) — the "concat" is then a full-width
+  VPU add of an aligned [L, CAT_P] tensor (leaky_relu(0)=0 keeps untouched
+  lanes intact);
+- block-k matmuls read cat[:, :c_p_k] with weight rows >= c_k zeroed, so
+  lane padding never leaks (LN scales for padded lanes are zero as well).
+
+Attention reuses the window-pair strategy proven in fused_swin_block: pairs
+of 8x8 windows gathered into [2N, 3C] rows, one [2N, 2N] score tile per
+(pair, head) with a pair-block-diagonal additive term (bias + shift mask,
+-1e30 off-diagonal), f32 softmax, per-head context matmul.
+
+Weights for all 5 blocks (~7 MB bf16) + the additive attention terms are
+DMA'd once per pallas_call (constant index_map across the image grid) and
+stream from HBM under lax.scan's 12-RDG loop.
+
+Forward-only (serving); training uses the flax model. Numerics verified
+against DRCT.apply in interpret mode (tests/test_fused_rdg.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+
+from adsr_tpu.core.config import DRCTModelConfig
+from adsr_tpu.models.drct import shift_attn_mask
+from adsr_tpu.ops.fused_swin_block import (_HAS_PLTPU, _INTERPRET, _attn_group,
+                                           _rup, _window_row_slices,
+                                           build_attn_term,
+                                           pack_swin_weights_jnp)
+
+if _HAS_PLTPU:
+    from jax.experimental.pallas import tpu as pltpu
+
+
+# --------------------------------------------------------------------------- #
+# Static geometry
+# --------------------------------------------------------------------------- #
+
+def rdg_geometry(cfg: DRCTModelConfig) -> Dict[str, Tuple]:
+    """Per-block channel/head/shift arithmetic (src/drct.py:337-373)."""
+    d, gc, nh = cfg.embed_dim, cfg.gc, cfg.num_heads
+    shift = cfg.window_size // 2
+    feats = tuple(d + k * gc for k in range(5))
+    heads = (nh,) + tuple(nh - ((d + k * gc) % nh) for k in range(1, 5))
+    shifts = (0, shift, 0, shift, 0)
+    return {"feats": feats, "heads": heads, "shifts": shifts,
+            "cps": tuple(_rup(c) for c in feats),
+            "cat_p": _rup(feats[4])}
+
+
+# --------------------------------------------------------------------------- #
+# Packing: param tree -> kernel operand arrays (once, at load time)
+# --------------------------------------------------------------------------- #
+
+def _pack_rdg_layer(layer_params: Dict, cfg: DRCTModelConfig,
+                    h: int, w: int, dtype) -> List[Dict[str, jnp.ndarray]]:
+    """One RDG's params -> 5 operand dicts (vmapped over the 12-layer axis)."""
+    g = rdg_geometry(cfg)
+    win = cfg.window_size
+    d, gc = cfg.embed_dim, cfg.gc
+    cat_p = g["cat_p"]
+    masks = {s: (np.asarray(shift_attn_mask(h, w, win, s)) if s else None)
+             for s in set(g["shifts"])}
+
+    out = []
+    for k in range(5):
+        c, nh, shift = g["feats"][k], g["heads"][k], g["shifts"][k]
+        pk = pack_swin_weights_jnp(layer_params[f"swin{k+1}"], c, nh, win,
+                                   dtype=dtype)
+        bias = pk.pop("bias")
+        attn = build_attn_term(bias, h, w, win, nh, masks[shift])
+        # biases + LN affine as one [8, c3_p] row block
+        c3_p = pk["wqkv"].shape[1]
+        rows = [pk["bqkv"], pk["bproj"], pk["b1"], pk["b2"],
+                pk["ln1_s"], pk["ln1_b"], pk["ln2_s"], pk["ln2_b"]]
+        bvec = jnp.concatenate(
+            [jnp.pad(r, ((0, 0), (0, c3_p - r.shape[1]))) for r in rows], 0)
+        # adjust 1x1 conv pre-positioned into the concat buffer lanes
+        adj = layer_params[f"adjust{k+1}"]
+        a_out = d if k == 4 else gc
+        col0 = 0 if k == 4 else c
+        wk = jnp.asarray(adj["kernel"], jnp.float32).reshape(c, a_out)
+        wadj = jnp.zeros((g["cps"][k], cat_p), jnp.float32)
+        wadj = wadj.at[:c, col0:col0 + a_out].set(wk).astype(dtype)
+        badj = jnp.zeros((1, cat_p), jnp.float32)
+        badj = badj.at[0, col0:col0 + a_out].set(
+            jnp.asarray(adj["bias"], jnp.float32))
+        out.append({"wqkv": pk["wqkv"], "wproj": pk["wproj"],
+                    "w1": pk["w1"], "w2": pk["w2"],
+                    "wadj": wadj, "badj": badj, "bvec": bvec,
+                    "attn": attn.astype(jnp.float32)})
+    return out
+
+
+def prepack_rdg_stack(params: Dict, cfg: DRCTModelConfig, h: int, w: int,
+                      dtype=jnp.bfloat16) -> Dict:
+    """Scan-stacked DRCT tree -> {'blocks': [5 stacked operand dicts],
+    'head': head/tail conv + norm params}. Run ONCE at params-load time."""
+    assert cfg.scan_layers, "fused forward expects the scan-stacked layout"
+    rdg = params["rdgs"]["rdg"]
+
+    def pack(layer):
+        return _pack_rdg_layer(layer, cfg, h, w, dtype)
+
+    blocks = jax.vmap(pack)(rdg)
+    head = {name: params[name] for name in params if name != "rdgs"}
+    return {"blocks": blocks, "head": head}
+
+
+# --------------------------------------------------------------------------- #
+# pallas_call wrapper
+# --------------------------------------------------------------------------- #
+
+def fused_rdg(x: jnp.ndarray, blocks: List[Dict[str, jnp.ndarray]],
+              cfg: DRCTModelConfig, h: int, w: int) -> jnp.ndarray:
+    """x: [B, L, cat_p-padded? no — [B, L, c_p0]] tokens -> same shape.
+
+    ``blocks`` holds the 5 per-block operand dicts for ONE RDG (leading layer
+    axis already sliced away by lax.scan).
+    """
+    if not _HAS_PLTPU:
+        raise NotImplementedError
+    g = rdg_geometry(cfg)
+    win = cfg.window_size
+    n = win * win
+    nw = (h // win) * (w // win)
+    b, l, c0p = x.shape
+    cat_p = g["cat_p"]
+    c3ps = tuple(blk["wqkv"].shape[1] for blk in blocks)
+    fps = tuple(blk["w1"].shape[1] for blk in blocks)
+
+    plans_by_shift = {}
+    inv_by_shift = {}
+    for s in set(g["shifts"]):
+        plans = _window_row_slices(h, w, win, s)
+        inv = []
+        for wdx, copies in enumerate(plans):
+            inv.append(tuple((src, wdx * n + dst, width)
+                             for dst, src, width in copies))
+        plans_by_shift[s] = tuple(tuple(p) for p in plans)
+        inv_by_shift[s] = tuple(inv)
+
+    operands = []
+    for blk in blocks:
+        operands += [blk["wqkv"], blk["wproj"], blk["w1"], blk["w2"],
+                     blk["wadj"], blk["badj"], blk["bvec"], blk["attn"]]
+
+    group = _attn_group(nw, n)
+    kernel = functools.partial(
+        _rdg_kernel_impl, h=h, w=w, win=win,
+        cs=g["feats"], cps=g["cps"], nhs=g["heads"], shifts=g["shifts"],
+        c3ps=c3ps, fps=fps, cat_p=cat_p,
+        plans_by_shift=plans_by_shift, inv_plans_by_shift=inv_by_shift)
+
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, l, c0p), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)]
+        + [vmem()] * len(operands),
+        out_specs=pl.BlockSpec((1, l, c0p), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, l, c0p), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((l, cat_p), x.dtype),          # concat buffer
+            pltpu.VMEM((l, max(c3ps)), x.dtype),      # qkv / context reuse
+            pltpu.VMEM((group * n, max(c3ps)), x.dtype),  # window pair
+            pltpu.VMEM((l, max(g["cps"])), x.dtype),  # attention context
+        ],
+        compiler_params=(pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+            if _HAS_PLTPU and not _INTERPRET else None),
+        interpret=_INTERPRET,
+    )(x, *operands)
+    return out
+
+
+def _rdg_kernel_impl(x_ref, *refs, h, w, win, cs, cps, nhs, shifts,
+                     c3ps, fps, cat_p, plans_by_shift, inv_plans_by_shift):
+    """Kernel body. refs = 5 x (wqkv, wproj, w1, w2, wadj, badj, bvec, attn)
+    + (o_ref, cat_scr, qkv_scr, win_scr, ctx_scr)."""
+    o_ref, cat_scr, qkv_scr, win_scr, ctx_scr = refs[40:]
+    mm = x_ref.dtype
+    n = win * win
+    nw = (h // win) * (w // win)
+    group = _attn_group(nw, n)
+    gn = group * n
+    c0p = x_ref.shape[2]
+
+    cat_scr[:, :] = jnp.zeros_like(cat_scr)
+    cat_scr[:, :c0p] = x_ref[0]
+
+    for k in range(5):
+        (wqkv_ref, wproj_ref, w1_ref, w2_ref, wadj_ref, badj_ref,
+         bvec_ref, a_ref) = refs[8 * k:8 * k + 8]
+        c, c_p, nh, shift = cs[k], cps[k], nhs[k], shifts[k]
+        c3_p, f_p = c3ps[k], fps[k]
+        hd = c // nh
+        plans = plans_by_shift[shift]
+        inv_plans = inv_plans_by_shift[shift]
+
+        x = cat_scr[:, :c_p].astype(jnp.float32)     # lanes >= c are zero
+
+        def layer_norm(t, s, b, c=c):
+            mu = jnp.sum(t, axis=-1, keepdims=True) / c
+            d0 = t - mu
+            var = (jnp.sum(t * t, axis=-1, keepdims=True) / c) - mu * mu
+            inv = jax.lax.rsqrt(var + 1e-6)
+            return (d0 * inv) * s + b
+
+        bqkv = bvec_ref[0:1, :c3_p]
+        bproj = bvec_ref[1:2, :c_p]
+        b1 = bvec_ref[2:3, :f_p]
+        b2 = bvec_ref[3:4, :c_p]
+
+        y = layer_norm(x, bvec_ref[4:5, :c_p], bvec_ref[5:6, :c_p]) \
+            .astype(mm)
+        qkv_scr[:, :c3_p] = (
+            jnp.dot(y, wqkv_ref[...], preferred_element_type=jnp.float32)
+            + bqkv).astype(qkv_scr.dtype)
+
+        scale = hd ** -0.5
+        ctx_scr[:, :c_p] = jnp.zeros_like(ctx_scr[:, :c_p])
+        for j in range(nw // group):
+            for g in range(group):
+                wdx = j * group + g
+                for dst, src, width in plans[wdx]:
+                    win_scr[g * n + dst:g * n + dst + width, :c3_p] = \
+                        qkv_scr[src:src + width, :c3_p]
+            for hh in range(nh):
+                qo = 0 * c + hh * hd
+                ko = 1 * c + hh * hd
+                vo = 2 * c + hh * hd
+                q = win_scr[:gn, qo:qo + hd] * scale
+                kk = win_scr[:gn, ko:ko + hd]
+                v = win_scr[:gn, vo:vo + hd]
+                s = jnp.dot(q, kk.T, preferred_element_type=jnp.float32)
+                s = s + a_ref[j, hh].astype(jnp.float32)
+                s = s - jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp(s)
+                p = p / jnp.sum(p, axis=-1, keepdims=True)
+                ctx_scr[j * gn:(j + 1) * gn, hh * hd:(hh + 1) * hd] = jnp.dot(
+                    p.astype(v.dtype), v,
+                    preferred_element_type=jnp.float32).astype(ctx_scr.dtype)
+
+        for wdx in range(nw):
+            for dst, src, width in inv_plans[wdx]:
+                qkv_scr[dst:dst + width, :c_p] = ctx_scr[src:src + width, :c_p]
+
+        ctx = qkv_scr[:, :c_p].astype(mm)
+        x = x + (jnp.dot(ctx, wproj_ref[...],
+                         preferred_element_type=jnp.float32) + bproj)
+
+        y = layer_norm(x, bvec_ref[6:7, :c_p], bvec_ref[7:8, :c_p]) \
+            .astype(mm)
+        hmid = jnp.dot(y, w1_ref[...], preferred_element_type=jnp.float32) \
+            + b1
+        z = hmid * (2.0 ** -0.5)
+        az = jnp.abs(z)
+        t = 1.0 / (1.0 + 0.3275911 * az)
+        poly = t * (0.254829592 + t * (-0.284496736 + t * (
+            1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+        erf_z = jnp.sign(z) * (1.0 - poly * jnp.exp(-az * az))
+        hmid = 0.5 * hmid * (1.0 + erf_z)
+        x = x + (jnp.dot(hmid.astype(mm), w2_ref[...],
+                         preferred_element_type=jnp.float32) + b2)
+
+        adj = jnp.dot(x.astype(mm), wadj_ref[...],
+                      preferred_element_type=jnp.float32) + badj_ref[0]
+        if k < 4:
+            adj = jnp.where(adj >= 0, adj, 0.2 * adj)      # leaky_relu(0.2)
+            cat_scr[:, :] = cat_scr[:, :] + adj.astype(cat_scr.dtype)
+        else:
+            out = 0.2 * adj[:, :c0p] + x_ref[0].astype(jnp.float32)
+            o_ref[0] = out.astype(o_ref.dtype)

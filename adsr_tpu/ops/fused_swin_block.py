@@ -154,6 +154,30 @@ def _attn_group(nw: int, n: int) -> int:
     return 2 if (nw % 2 == 0 and 2 * n <= 128) else 1
 
 
+def build_attn_term(bias: jnp.ndarray, h: int, w: int, window: int,
+                    num_heads: int,
+                    mask: Optional[np.ndarray] = None) -> jnp.ndarray:
+    """Additive attention term per (window-group, head), pair-grouped when the
+    kernel batches window pairs. Pure function of the (learned) relative
+    position bias [H, N, N] and the static shift mask — build it ONCE at
+    params-load time (prepack) instead of per forward."""
+    n = window * window
+    nw = (h // window) * (w // window)
+    a = jnp.broadcast_to(jnp.asarray(bias)[None], (nw, num_heads, n, n))
+    if mask is not None:
+        a = a + jnp.asarray(mask)[:, None]
+    group = _attn_group(nw, n)
+    if group == 2:
+        # pair-block-diagonal with -1e30 off-diagonal (per-window softmax)
+        ap = a.reshape(nw // 2, 2, num_heads, n, n)
+        big = jnp.full((nw // 2, num_heads, 2 * n, 2 * n), -1e30,
+                       jnp.float32)
+        big = big.at[:, :, :n, :n].set(ap[:, 0])
+        big = big.at[:, :, n:, n:].set(ap[:, 1])
+        a = big
+    return a
+
+
 def _window_row_slices(h: int, w: int, win: int, shift: int):
     """Static gather plan: for each window, the list of (dst_row, src_start,
     width, dst_col) copies assembling its [win*win] token rows from the
@@ -260,8 +284,14 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
 def fused_swin_block(x: jnp.ndarray, packed: Dict[str, jnp.ndarray],
                      h: int, w: int, window: int, shift: int,
                      num_heads: int, c: int,
-                     mask: Optional[np.ndarray] = None) -> jnp.ndarray:
-    """x: [B, L, C] tokens -> [B, L, C]; one program per image."""
+                     mask: Optional[np.ndarray] = None,
+                     attn: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """x: [B, L, C] tokens -> [B, L, C]; one program per image.
+
+    ``attn`` is the prebuilt additive term from :func:`build_attn_term`
+    (pass it to skip per-call construction); when None it is built here from
+    ``packed['bias']`` and ``mask``.
+    """
     if not _HAS_PLTPU:
         raise NotImplementedError
     b, l, _ = x.shape
@@ -269,25 +299,14 @@ def fused_swin_block(x: jnp.ndarray, packed: Dict[str, jnp.ndarray],
     c_p = _rup(c)
     c3_p = packed["wqkv"].shape[1]
     f_p = packed["w1"].shape[1]
+    nw = (h // window) * (w // window)
+    group = _attn_group(nw, n)
 
     # keep the caller's dtype: bf16 x + bf16 packed weights run MXU bf16
     xp = jnp.pad(x, ((0, 0), (0, 0), (0, c_p - c)))
 
-    # additive term per (window, head): bias broadcast (+ mask when shifted)
-    bias = jnp.asarray(packed["bias"])                 # [H, N, N]
-    nw = (h // window) * (w // window)
-    a = jnp.broadcast_to(bias[None], (nw, num_heads, n, n))
-    if mask is not None:
-        a = a + jnp.asarray(mask)[:, None]
-    group = _attn_group(nw, n)
-    if group == 2:
-        # pair-block-diagonal with -1e30 off-diagonal (per-window softmax)
-        ap = a.reshape(nw // 2, 2, num_heads, n, n)
-        big = jnp.full((nw // 2, num_heads, 2 * n, 2 * n), -1e30,
-                       jnp.float32)
-        big = big.at[:, :, :n, :n].set(ap[:, 0])
-        big = big.at[:, :, n:, n:].set(ap[:, 1])
-        a = big
+    a = attn if attn is not None else build_attn_term(
+        packed["bias"], h, w, window, num_heads, mask)
 
     plans = _window_row_slices(h, w, window, shift)
     # inverse plan: window rows -> token rows (same copies, swapped src/dst)

@@ -194,6 +194,42 @@ def make_eval_forward(exp: Experiment):
     return forward
 
 
+def make_serving_forward(exp: Experiment, params):
+    """Fixed-params jitted inference: LR batch -> quantized SR batch.
+
+    Unlike :func:`make_eval_forward` (params change every training eval),
+    this binds the params at build time, so the fused DRCT path can run
+    weight packing + attention-bias construction ONCE (prepack_drct) instead
+    of per forward — the torch reference likewise keeps weights resident
+    between calls (src/drct.py:249-276). Returns ``forward(lr)``.
+    """
+    import os
+
+    from adsr_tpu.core.config import DRCTModelConfig
+    use_fused = (
+        isinstance(exp.model, DRCTModelConfig)
+        and exp.model.scan_layers
+        and os.environ.get("ADSR_TPU_FUSED", "auto") != "0"
+        and jax.default_backend() not in ("cpu",)
+    )
+    if use_fused:
+        from adsr_tpu.models.factory import compute_dtype
+        from adsr_tpu.ops.fused_drct import fused_drct_apply, prepack_drct
+        dtype = compute_dtype(exp.precision)
+        img = exp.model.img_size
+        packed = prepack_drct(params, exp.model, img, img, dtype=dtype)
+
+        @jax.jit
+        def fwd(packed, lr):
+            sr = fused_drct_apply(packed, exp.model, lr, dtype=dtype)
+            return quantize(sr, exp.data.rgb_range)
+
+        return lambda lr: fwd(packed, lr)
+
+    forward = make_eval_forward(exp)
+    return lambda lr: forward(params, lr)
+
+
 class Trainer:
     """Epoch driver with the reference's terminate/test cadence."""
 

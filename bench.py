@@ -41,15 +41,18 @@ def main() -> None:
     model = make_model(exp.model, exp.precision)
     params, _ = init_sr_params(exp.model, jax.random.key(0), exp.precision)
 
-    # serving path: fused Pallas SwinBlocks on TPU (ops/fused_drct.py),
-    # XLA model otherwise — same dispatch the evaluator uses
+    # serving path: fused Pallas SwinBlocks on TPU (ops/fused_drct.py) with
+    # weights prepacked once, XLA model otherwise — same dispatch the
+    # evaluator/server uses
     use_fused = jax.default_backend() not in ("cpu",)
     if use_fused:
-        from adsr_tpu.ops.fused_drct import fused_drct_forward
+        from adsr_tpu.ops.fused_drct import fused_drct_apply, prepack_drct
+
+        params = prepack_drct(params, exp.model, 32, 32, dtype=jnp.bfloat16)
 
         def fwd(params, x):
-            return fused_drct_forward(params, exp.model, x,
-                                      dtype=jnp.bfloat16)
+            return fused_drct_apply(params, exp.model, x,
+                                    dtype=jnp.bfloat16)
     else:
         def fwd(params, x):
             return model.apply({"params": params}, x, deterministic=True)

@@ -1,0 +1,42 @@
+"""Fused whole-RDG serving forward parity vs the flax model (interpret mode)."""
+
+import os
+
+os.environ["ADSR_TPU_PALLAS_INTERPRET"] = "1"
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from adsr_tpu.core.config import DRCTModelConfig
+from adsr_tpu.models.drct import DRCT
+from adsr_tpu.ops.fused_drct import fused_drct_apply, prepack_drct
+
+
+def _check(cfg, seed=0, atol=2e-3):
+    model = DRCT(cfg)
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.rand(2, cfg.img_size, cfg.img_size, cfg.in_chans)
+                    * 255, jnp.float32)
+    params = model.init(jax.random.key(0), x)["params"]
+    want = np.asarray(model.apply({"params": params}, x))
+    packed = prepack_drct(params, cfg, cfg.img_size, cfg.img_size,
+                          dtype=jnp.float32, mode="rdg")
+    assert "blocks" in packed
+    got = np.asarray(fused_drct_apply(packed, cfg, x, dtype=jnp.float32))
+    np.testing.assert_allclose(got, want, atol=atol, rtol=1e-3)
+
+
+def test_rdg_matches_flax_model():
+    _check(DRCTModelConfig(upscale=2, img_size=8, window_size=4, in_chans=1,
+                           embed_dim=12, num_layers=2, num_heads=2, gc=4,
+                           scan_layers=True))
+
+
+def test_rdg_matches_flax_model_heads_fixup():
+    # embed 18, gc 6 -> dims 18/24/30/36/42 exercising the head fix-up
+    # arithmetic (src/drct.py:337-367) and shifted-window masks
+    _check(DRCTModelConfig(upscale=2, img_size=16, window_size=4, in_chans=1,
+                           embed_dim=18, num_layers=1, num_heads=3, gc=6,
+                           scan_layers=True))

@@ -152,9 +152,10 @@ class TestShardedEval:
         lr = hr.reshape(10, 8, 2, 8, 2, 1).mean(axis=(2, 4))
         ds = SRDataset(hr=hr, lrs=[lr], scales_desc=(2,),
                        filenames=[str(i) for i in range(10)])
+        from adsr_tpu.train.trainer import make_serving_forward
         mesh = make_mesh(exp.mesh)
-        sr_m, hr_m = _forward_split(exp, state.params["primal"], ds,
-                                    batch=8, mesh=mesh)
-        sr_s, hr_s = _forward_split(exp, state.params["primal"], ds, batch=8)
+        forward = make_serving_forward(exp, state.params["primal"])
+        sr_m, hr_m = _forward_split(forward, exp, ds, batch=8, mesh=mesh)
+        sr_s, hr_s = _forward_split(forward, exp, ds, batch=8)
         np.testing.assert_array_equal(sr_m, sr_s)
         np.testing.assert_array_equal(hr_m, hr_s)
