@@ -38,6 +38,7 @@ against DRCT.apply in interpret mode (tests/test_fused_rdg.py).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict, List, Tuple
 
 import numpy as np
@@ -74,6 +75,11 @@ def rdg_geometry(cfg: DRCTModelConfig) -> Dict[str, Tuple]:
             "cat_p": _rup(feats[4])}
 
 
+def _adj_base(g: Dict, k: int) -> int:
+    """First lane of the aligned window holding adjust-k's output columns."""
+    return 0 if k == 4 else (g["feats"][k] // 128) * 128
+
+
 # --------------------------------------------------------------------------- #
 # Packing: param tree -> kernel operand arrays (once, at load time)
 # --------------------------------------------------------------------------- #
@@ -94,21 +100,33 @@ def _pack_rdg_layer(layer_params: Dict, cfg: DRCTModelConfig,
         pk = pack_swin_weights_jnp(layer_params[f"swin{k+1}"], c, nh, win,
                                    dtype=dtype)
         bias = pk.pop("bias")
+        # fold the 1/sqrt(hd) query scale into the q columns of wqkv/bqkv so
+        # the kernel's score matmul needs no extra VPU multiply
+        scale = (c // nh) ** -0.5
+        pk["wqkv"] = pk["wqkv"].at[:, :c].multiply(scale)
+        pk["bqkv"] = pk["bqkv"].at[:, :c].multiply(scale)
+        # additive term flattened to [P*nh*gn, gn] so the kernel's softmax
+        # phase is ONE bias-add + softmax sweep over all (pair, head) tiles
         attn = build_attn_term(bias, h, w, win, nh, masks[shift])
+        attn = attn.reshape(-1, attn.shape[-1])
         # biases + LN affine as one [8, c3_p] row block
         c3_p = pk["wqkv"].shape[1]
         rows = [pk["bqkv"], pk["bproj"], pk["b1"], pk["b2"],
                 pk["ln1_s"], pk["ln1_b"], pk["ln2_s"], pk["ln2_b"]]
         bvec = jnp.concatenate(
             [jnp.pad(r, ((0, 0), (0, c3_p - r.shape[1]))) for r in rows], 0)
-        # adjust 1x1 conv pre-positioned into the concat buffer lanes
+        # adjust 1x1 conv pre-positioned into the concat buffer lanes; the
+        # weight only spans the aligned 128-lane window [base, cat_p) that
+        # contains its output columns, so the matmul does no dead tiles
         adj = layer_params[f"adjust{k+1}"]
         a_out = d if k == 4 else gc
-        col0 = 0 if k == 4 else c
+        base = _adj_base(g, k)
+        width = (_rup(d) if k == 4 else cat_p) - base
+        col0 = (0 if k == 4 else c) - base
         wk = jnp.asarray(adj["kernel"], jnp.float32).reshape(c, a_out)
-        wadj = jnp.zeros((g["cps"][k], cat_p), jnp.float32)
+        wadj = jnp.zeros((g["cps"][k], width), jnp.float32)
         wadj = wadj.at[:c, col0:col0 + a_out].set(wk).astype(dtype)
-        badj = jnp.zeros((1, cat_p), jnp.float32)
+        badj = jnp.zeros((1, width), jnp.float32)
         badj = badj.at[0, col0:col0 + a_out].set(
             jnp.asarray(adj["bias"], jnp.float32))
         out.append({"wqkv": pk["wqkv"], "wproj": pk["wproj"],
@@ -191,8 +209,10 @@ def fused_rdg(x: jnp.ndarray, blocks: List[Dict[str, jnp.ndarray]],
         scratch_shapes=[
             pltpu.VMEM((l, cat_p), x.dtype),          # concat buffer
             pltpu.VMEM((l, max(c3ps)), x.dtype),      # qkv / context reuse
-            pltpu.VMEM((group * n, max(c3ps)), x.dtype),  # window pair
+            pltpu.VMEM((l, max(c3ps)), x.dtype),      # window-ordered qkv
             pltpu.VMEM((l, max(g["cps"])), x.dtype),  # attention context
+            pltpu.VMEM((l * max(g["heads"]), group * n),
+                       jnp.float32),                  # score tiles
         ],
         compiler_params=(pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024)
@@ -202,11 +222,17 @@ def fused_rdg(x: jnp.ndarray, blocks: List[Dict[str, jnp.ndarray]],
     return out
 
 
+# timing-only ablation probes (NOT numerically valid): "noattn" skips the
+# whole window loop, "nosoftmax" skips max/exp/normalise, "nogelu" skips the
+# erf polynomial, "nogather" skips the window gather/scatter copies
+_PROBE = os.environ.get("ADSR_TPU_RDG_PROBE", "")
+
+
 def _rdg_kernel_impl(x_ref, *refs, h, w, win, cs, cps, nhs, shifts,
                      c3ps, fps, cat_p, plans_by_shift, inv_plans_by_shift):
     """Kernel body. refs = 5 x (wqkv, wproj, w1, w2, wadj, badj, bvec, attn)
-    + (o_ref, cat_scr, qkv_scr, win_scr, ctx_scr)."""
-    o_ref, cat_scr, qkv_scr, win_scr, ctx_scr = refs[40:]
+    + (o_ref, cat_scr, qkv_scr, win_scr, ctx_scr, scores_scr)."""
+    o_ref, cat_scr, qkv_scr, win_scr, ctx_scr, scores_scr = refs[40:]
     mm = x_ref.dtype
     n = win * win
     nw = (h // win) * (w // win)
@@ -246,33 +272,53 @@ def _rdg_kernel_impl(x_ref, *refs, h, w, win, cs, cps, nhs, shifts,
             jnp.dot(y, wqkv_ref[...], preferred_element_type=jnp.float32)
             + bqkv).astype(qkv_scr.dtype)
 
-        scale = hd ** -0.5
         ctx_scr[:, :c_p] = jnp.zeros_like(ctx_scr[:, :c_p])
-        for j in range(nw // group):
-            for g in range(group):
-                wdx = j * group + g
-                for dst, src, width in plans[wdx]:
-                    win_scr[g * n + dst:g * n + dst + width, :c3_p] = \
-                        qkv_scr[src:src + width, :c3_p]
-            for hh in range(nh):
-                qo = 0 * c + hh * hd
-                ko = 1 * c + hh * hd
-                vo = 2 * c + hh * hd
-                q = win_scr[:gn, qo:qo + hd] * scale
-                kk = win_scr[:gn, ko:ko + hd]
-                v = win_scr[:gn, vo:vo + hd]
-                s = jnp.dot(q, kk.T, preferred_element_type=jnp.float32)
-                s = s + a_ref[j, hh].astype(jnp.float32)
+        if _PROBE != "noattn":
+            npair = nw // group
+            # phase 0: gather qkv rows into window order (all pairs at once)
+            if _PROBE != "nogather":
+                for wdx in range(nw):
+                    for dst, src, width in plans[wdx]:
+                        win_scr[wdx * n + dst:wdx * n + dst + width, :c3_p] \
+                            = qkv_scr[src:src + width, :c3_p]
+            # phase 1: all (pair, head) score matmuls back-to-back (MXU);
+            # the 1/sqrt(hd) scale is pre-folded into wqkv at pack time
+            for j in range(npair):
+                rows = slice(j * gn, (j + 1) * gn)
+                for hh in range(nh):
+                    q = win_scr[rows, hh * hd:hh * hd + hd]
+                    kk = win_scr[rows, c + hh * hd:c + hh * hd + hd]
+                    scores_scr[(j * nh + hh) * gn:(j * nh + hh + 1) * gn, :] \
+                        = jnp.dot(q, kk.T,
+                                  preferred_element_type=jnp.float32)
+            # phase 2: ONE bias-add + softmax sweep over every score tile
+            # (decoupled from the matmul phases so the VPU never serialises
+            # the MXU pipeline; a_ref is pre-flattened [npair*nh*gn, gn])
+            valid = npair * nh * gn
+            s = scores_scr[:valid, :] + a_ref[...]
+            if _PROBE != "nosoftmax":
                 s = s - jnp.max(s, axis=-1, keepdims=True)
                 p = jnp.exp(s)
                 p = p / jnp.sum(p, axis=-1, keepdims=True)
-                ctx_scr[j * gn:(j + 1) * gn, hh * hd:(hh + 1) * hd] = jnp.dot(
-                    p.astype(v.dtype), v,
-                    preferred_element_type=jnp.float32).astype(ctx_scr.dtype)
+            else:
+                p = s
+            scores_scr[:valid, :] = p
+            # phase 3: all context matmuls back-to-back (MXU)
+            for j in range(npair):
+                for hh in range(nh):
+                    v = win_scr[j * gn:(j + 1) * gn,
+                                2 * c + hh * hd:2 * c + hh * hd + hd]
+                    pj = scores_scr[(j * nh + hh) * gn:
+                                    (j * nh + hh + 1) * gn, :].astype(mm)
+                    ctx_scr[j * gn:(j + 1) * gn, hh * hd:(hh + 1) * hd] = \
+                        jnp.dot(pj, v, preferred_element_type=jnp.float32) \
+                        .astype(ctx_scr.dtype)
 
-        for wdx in range(nw):
-            for dst, src, width in inv_plans[wdx]:
-                qkv_scr[dst:dst + width, :c_p] = ctx_scr[src:src + width, :c_p]
+            if _PROBE != "nogather":
+                for wdx in range(nw):
+                    for dst, src, width in inv_plans[wdx]:
+                        qkv_scr[dst:dst + width, :c_p] = \
+                            ctx_scr[src:src + width, :c_p]
 
         ctx = qkv_scr[:, :c_p].astype(mm)
         x = x + (jnp.dot(ctx, wproj_ref[...],
@@ -282,13 +328,16 @@ def _rdg_kernel_impl(x_ref, *refs, h, w, win, cs, cps, nhs, shifts,
             .astype(mm)
         hmid = jnp.dot(y, w1_ref[...], preferred_element_type=jnp.float32) \
             + b1
-        z = hmid * (2.0 ** -0.5)
-        az = jnp.abs(z)
-        t = 1.0 / (1.0 + 0.3275911 * az)
-        poly = t * (0.254829592 + t * (-0.284496736 + t * (
-            1.421413741 + t * (-1.453152027 + t * 1.061405429))))
-        erf_z = jnp.sign(z) * (1.0 - poly * jnp.exp(-az * az))
-        hmid = 0.5 * hmid * (1.0 + erf_z)
+        if _PROBE != "nogelu":
+            # exact-form gelu via the Abramowitz-Stegun 7.1.26 erf polynomial
+            # (Mosaic lowers neither erf nor erfc; max abs err 1.5e-7)
+            z = hmid * (2.0 ** -0.5)
+            az = jnp.abs(z)
+            t = 1.0 / (1.0 + 0.3275911 * az)
+            poly = t * (0.254829592 + t * (-0.284496736 + t * (
+                1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+            erf_z = jnp.sign(z) * (1.0 - poly * jnp.exp(-az * az))
+            hmid = 0.5 * hmid * (1.0 + erf_z)
         x = x + (jnp.dot(hmid.astype(mm), w2_ref[...],
                          preferred_element_type=jnp.float32) + b2)
 
@@ -296,7 +345,8 @@ def _rdg_kernel_impl(x_ref, *refs, h, w, win, cs, cps, nhs, shifts,
                       preferred_element_type=jnp.float32) + badj_ref[0]
         if k < 4:
             adj = jnp.where(adj >= 0, adj, 0.2 * adj)      # leaky_relu(0.2)
-            cat_scr[:, :] = cat_scr[:, :] + adj.astype(cat_scr.dtype)
+            base = cat_p - adj.shape[1]
+            cat_scr[:, base:] = cat_scr[:, base:] + adj.astype(cat_scr.dtype)
         else:
             out = 0.2 * adj[:, :c0p] + x_ref[0].astype(jnp.float32)
             o_ref[0] = out.astype(o_ref.dtype)
