@@ -60,6 +60,10 @@ def convert_drct(state_dict: Dict[str, np.ndarray]) -> Dict[str, Any]:
             _set(out, "norm/scale", v)
         elif key == "norm.bias":
             _set(out, "norm/bias", v)
+        elif key == "patch_embed.norm.weight":
+            _set(out, "patch_norm/scale", v)
+        elif key == "patch_embed.norm.bias":
+            _set(out, "patch_norm/bias", v)
         elif m:
             layer, rest = int(m.group(1)), m.group(2)
             _set_drct_rdg(out, f"rdg_{layer}", rest, key, v)

@@ -316,8 +316,12 @@ class DRCT(nn.Module):
 
         feat = conv(cfg.embed_dim, 3, dtype=self.dtype, name="conv_first")(x)
 
-        # deep feature extraction over token layout
+        # deep feature extraction over token layout; the top-level patch
+        # embed carries a LayerNorm (patch_norm=True default in the
+        # reference, src/drct.py:739, 793-798, applied at 685-688) — the
+        # RDG-internal pe/pue do NOT (norm_layer=None, src/drct.py:377-384)
         t = feat.reshape(feat.shape[0], h * w, cfg.embed_dim)
+        t = nn.LayerNorm(dtype=self.dtype, name="patch_norm")(t)
         # stochastic-depth schedule: RDG i uses dpr[6i] of linspace(0, 0.1, 72)
         # with the reference's depths=(6,)*12 (src/drct.py:819-830)
         total = 6 * cfg.num_layers

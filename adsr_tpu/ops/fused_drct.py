@@ -129,6 +129,13 @@ def fused_drct_apply(packed: Dict, cfg: DRCTModelConfig, x: jnp.ndarray,
     feat = _conv(x, params["conv_first"]["kernel"],
                  params["conv_first"]["bias"])
     t0 = feat.reshape(b, h * w, d)
+    # top-level patch-embed LayerNorm (reference src/drct.py:739, 685-688)
+    tf = t0.astype(jnp.float32)
+    mu = jnp.mean(tf, axis=-1, keepdims=True)
+    var = jnp.var(tf, axis=-1, keepdims=True)
+    t0 = ((tf - mu) * lax.rsqrt(var + 1e-6)
+          * params["patch_norm"]["scale"]
+          + params["patch_norm"]["bias"]).astype(dtype)
 
     if "blocks" in packed:
         # whole-RDG Pallas programs: tokens stay VMEM-resident through all 5

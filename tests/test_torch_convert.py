@@ -47,6 +47,7 @@ def drct_torch_key(path):
         "conv_first": "conv_first", "conv_after_body": "conv_after_body",
         "conv_before_upsample": "conv_before_upsample.0",
         "conv_last": "conv_last", "norm": "norm",
+        "patch_norm": "patch_embed.norm",
     }
     for ours, theirs in table.items():
         if path.startswith(ours + "/"):
@@ -161,3 +162,165 @@ class TestConvertDRN:
         if (m := re.match(r"up(\d+)_proj/(kernel|bias)", path)):
             return f"up_blocks.{m.group(1)}.{n_blocks + 1}.{suffix}"
         raise KeyError(path)
+
+
+# --------------------------------------------------------------------------- #
+# Numeric parity against the REAL reference torch models
+# --------------------------------------------------------------------------- #
+
+def _import_reference():
+    """Import the reference torch models (reference src/drct.py:716-898,
+    src/drn.py:160-270). The reference modules import skimage/imageio/tqdm at
+    top level without using them in the model classes; stub any that are
+    missing in this environment so the import succeeds."""
+    import sys
+    import types
+
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    for mod in ("skimage", "skimage.color", "imageio", "imageio.v2",
+                "tqdm", "tifffile", "torchvision", "torchvision.transforms",
+                "torchvision.datasets"):
+        try:
+            __import__(mod)
+        except (ImportError, TypeError):
+            stub = types.ModuleType(mod)
+
+            def _getattr(name):
+                if name.startswith("__"):
+                    raise AttributeError(name)
+                return lambda *a, **k: None
+
+            stub.__getattr__ = _getattr
+            stub.__path__ = []  # so `import pkg.sub` consults sys.modules
+            sys.modules[mod] = stub
+            if "." in mod:
+                parent, child = mod.rsplit(".", 1)
+                setattr(sys.modules[parent], child, stub)
+    try:
+        from src.drct import DRCT as TorchDRCT
+        from src.drn import DRN as TorchDRN
+    except Exception as e:  # pragma: no cover - environment-dependent
+        pytest.skip(f"reference import unavailable: {e}")
+    return TorchDRCT, TorchDRN
+
+
+class TestNumericParityVsReference:
+    """Convert state_dicts of randomly-initialised REFERENCE torch models and
+    assert our Flax forward reproduces the torch forward (VERDICT #5)."""
+
+    def _drct_pair(self, embed_dim, num_layers, num_heads, gc, img_size,
+                   window, in_chans, upscale, mlp_ratio=2.0):
+        import types
+        import torch
+        TorchDRCT, _ = _import_reference()
+        opt = types.SimpleNamespace(
+            img_size=img_size, n_colors=in_chans, embed_dim=embed_dim,
+            depths=(6,) * num_layers, num_heads=(num_heads,) * num_layers,
+            window_size=window, compress_ratio=3, squeeze_factor=30,
+            conv_scale=0.01, overlap_ratio=0.5, mlp_ratio=mlp_ratio,
+            upscale=upscale, img_range=1.0, upsampler="pixelshuffle",
+            resi_connection="1conv")
+        torch.manual_seed(0)
+        tm = TorchDRCT(opt, gc=gc)
+        tm.eval()
+        sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+
+        from adsr_tpu.io.torch_convert import stack_scan_layers
+        params = stack_scan_layers(convert_drct(sd), num_layers)
+        cfg = DRCTModelConfig(upscale=upscale, img_size=img_size,
+                              window_size=window, in_chans=in_chans,
+                              embed_dim=embed_dim, num_layers=num_layers,
+                              num_heads=num_heads, gc=gc,
+                              mlp_ratio=mlp_ratio, scan_layers=True)
+        return tm, params, cfg
+
+    def _assert_drct_close(self, tm, params, cfg, atol):
+        import torch
+        from adsr_tpu.models.drct import DRCT as FlaxDRCT
+        rng = np.random.RandomState(1)
+        x = rng.rand(2, cfg.img_size, cfg.img_size, cfg.in_chans) \
+            .astype(np.float32)
+        with torch.no_grad():
+            want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+        got = np.asarray(FlaxDRCT(cfg).apply(
+            {"params": jax.tree_util.tree_map(np.asarray, params)},
+            x)).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(got, want, atol=atol, rtol=1e-4)
+
+    def test_drct_forward_parity_tiny(self):
+        tm, params, cfg = self._drct_pair(
+            embed_dim=12, num_layers=2, num_heads=2, gc=4, img_size=8,
+            window=4, in_chans=1, upscale=2)
+        self._assert_drct_close(tm, params, cfg, atol=1e-5)
+
+    def test_drct_forward_parity_heads_fixup(self):
+        # embed 18, gc 6 -> per-block head fix-up (src/drct.py:337-367)
+        tm, params, cfg = self._drct_pair(
+            embed_dim=18, num_layers=2, num_heads=2, gc=6, img_size=16,
+            window=4, in_chans=3, upscale=4)
+        self._assert_drct_close(tm, params, cfg, atol=1e-5)
+
+    @pytest.mark.slow
+    def test_drct_forward_parity_fullsize(self):
+        # the real serving config: embed 180, 12 RDGs, window 8, LR 32
+        tm, params, cfg = self._drct_pair(
+            embed_dim=180, num_layers=12, num_heads=6, gc=32, img_size=32,
+            window=8, in_chans=1, upscale=4)
+        self._assert_drct_close(tm, params, cfg, atol=5e-4)
+
+    def _drn_pair(self, scale, n_blocks, n_feats, n_colors):
+        import types
+        import torch
+        _, TorchDRN = _import_reference()
+        opt = types.SimpleNamespace(scale=list(scale), n_blocks=n_blocks,
+                                    n_feats=n_feats, n_colors=n_colors,
+                                    negval=0.2, rgb_range=255.0)
+        torch.manual_seed(0)
+        tm = TorchDRN(opt)
+        tm.eval()
+        sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+
+        from adsr_tpu.io.torch_convert import stack_drn_rcabs
+        params = stack_drn_rcabs(
+            convert_drn(sd, phase=len(scale), n_blocks=n_blocks),
+            phase=len(scale), n_blocks=n_blocks)
+        cfg = DRNModelConfig(scale=tuple(scale), n_blocks=n_blocks,
+                             n_feats=n_feats, n_colors=n_colors,
+                             scan_blocks=True)
+        return tm, params, cfg
+
+    def _assert_drn_close(self, tm, params, cfg, atol):
+        import torch
+        from adsr_tpu.models.factory import make_model
+        lr_size = 16 // cfg.max_scale * 2
+        rng = np.random.RandomState(2)
+        x = (rng.rand(2, lr_size, lr_size, cfg.n_colors) * 255) \
+            .astype(np.float32)
+        with torch.no_grad():
+            want = [t.numpy()
+                    for t in tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))]
+        got = make_model(cfg).apply(
+            {"params": jax.tree_util.tree_map(np.asarray, params)}, x)
+        assert len(got) == len(want)
+        for g, t in zip(got, want):
+            np.testing.assert_allclose(
+                np.asarray(g).transpose(0, 3, 1, 2), t, atol=atol, rtol=1e-4)
+
+    def test_drn_forward_parity_tiny(self):
+        # n_feats >= 16 so CALayer's channels//16 squeeze stays non-empty
+        tm, params, cfg = self._drn_pair(scale=(2,), n_blocks=2, n_feats=16,
+                                         n_colors=1)
+        self._assert_drn_close(tm, params, cfg, atol=1e-4)
+
+    def test_drn_forward_parity_x4_rgb(self):
+        tm, params, cfg = self._drn_pair(scale=(2, 4), n_blocks=3, n_feats=16,
+                                         n_colors=3)
+        self._assert_drn_close(tm, params, cfg, atol=1e-4)
+
+    @pytest.mark.slow
+    def test_drn_forward_parity_fullsize(self):
+        # DRN-L x4: 40 blocks, 20 feats (reference main.py:172-182)
+        tm, params, cfg = self._drn_pair(scale=(2, 4), n_blocks=40,
+                                         n_feats=20, n_colors=1)
+        self._assert_drn_close(tm, params, cfg, atol=5e-4)
