@@ -12,7 +12,12 @@ import argparse
 
 def main(argv=None):
     p = argparse.ArgumentParser(description="torch -> adsr_tpu checkpoint")
-    p.add_argument("--model-type", choices=["drct", "drn-l"], required=True)
+    p.add_argument("--model-type",
+                   choices=["drct", "drn-l", "efficientad-teacher",
+                            "efficientad-student"],
+                   required=True)
+    p.add_argument("--pdn-size", choices=["small", "medium"], default="small",
+                   help="PDN variant for efficientad-* conversions")
     p.add_argument("--torch-ckpt", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--classe", default="grid")
@@ -34,6 +39,24 @@ def main(argv=None):
     sd = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
           for k, v in sd.items()}
 
+    if args.model_type in ("efficientad-teacher", "efficientad-student"):
+        from adsr_tpu.io.torch_convert import convert_pdn
+        params = convert_pdn(sd, size=args.pdn_size)
+        if args.verify:
+            import jax
+            from adsr_tpu.models.efficientad import PDN
+            out_ch = params[sorted(params)[-1]]["bias"].shape[0]
+            model = PDN(out_channels=out_ch, size=args.pdn_size)
+            template = model.init(jax.random.key(0),
+                                  jax.numpy.zeros((1, 64, 64, 3)))["params"]
+            got = jax.tree_util.tree_map(lambda a: a.shape, params)
+            want = jax.tree_util.tree_map(lambda a: a.shape, template)
+            if got != want:
+                raise SystemExit(f"verify failed: {got} != {want}")
+            print("verify ok: tree structure and shapes match")
+        save_params(args.out, params)
+        print(f"wrote {args.out}")
+        return
     if args.model_type == "drct":
         from adsr_tpu.io.torch_convert import stack_scan_layers
         params = convert_drct(sd)

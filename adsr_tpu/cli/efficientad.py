@@ -35,6 +35,10 @@ def parse_args(argv=None):
                    choices=["small", "medium"])
     p.add_argument("--image-size", type=int, default=256)
     p.add_argument("--teacher-weights", type=str, default="")
+    p.add_argument("--imagenet-train-path", type=str, default="none",
+                   help="folder of ImageNet(-like) images for the optional "
+                        "pretraining penalty; 'none' disables it "
+                        "(reference efficientAD.py:362-364)")
     p.add_argument("--output-dir", type=str,
                    default="workspace/experiment/efficientad")
     p.add_argument("--patience", type=int, default=3)
@@ -60,14 +64,15 @@ def main(argv=None):
     from adsr_tpu.io.journal import save_params
     from adsr_tpu.train.efficientad import (
         EADConfig, EarlyStopping, EfficientADTrainer, final_metrics,
-        load_image_folder,
+        load_image_folder, load_penalty_folder,
     )
 
+    pretrain_penalty = args.imagenet_train_path != "none"
     cfg = EADConfig(train_steps=args.train_steps, batch_size=args.batch_size,
                     model_size=args.model_size, image_size=args.image_size,
                     patience=args.patience, min_delta=args.min_delta,
                     eval_after=args.eval_after, eval_every=args.eval_every,
-                    seed=args.seed)
+                    seed=args.seed, pretrain_penalty=pretrain_penalty)
     out_dir = Path(args.output_dir) / f"{args.subdataset}_{args.train_steps}"
     out_dir.mkdir(parents=True, exist_ok=True)
 
@@ -97,12 +102,22 @@ def main(argv=None):
     data_rng = np.random.RandomState(cfg.seed + 1)
     key = jax.random.key(cfg.seed + 2)
 
+    penalty_imgs = None
+    if pretrain_penalty:
+        penalty_imgs = load_penalty_folder(args.imagenet_train_path,
+                                           cfg.image_size)
+        print(f"pretraining penalty on ({len(penalty_imgs)} images)")
+
     t0 = time.time()
     for step in range(cfg.train_steps):
         idx = data_rng.randint(0, len(tr_imgs), cfg.batch_size)
         batch = jnp.asarray(tr_imgs[idx])
+        pen = None
+        if penalty_imgs is not None:
+            pidx = data_rng.randint(0, len(penalty_imgs), cfg.batch_size)
+            pen = jnp.asarray(penalty_imgs[pidx])
         metrics = trainer.train_step(batch, batch,
-                                     jax.random.fold_in(key, step))
+                                     jax.random.fold_in(key, step), pen)
         if step % 1000 == 0:
             print(f"[{step}/{cfg.train_steps}] loss={metrics['total']:.4f} "
                   f"(hard={metrics['hard']:.4f} ae={metrics['ae']:.4f} "

@@ -189,6 +189,32 @@ def _set_drn_up(out, blk: int, seq: int, rest: str, key: str, v: np.ndarray,
     _set(out, f"up{blk}_proj/{kind}", w)
 
 
+def convert_pdn(state_dict: Dict[str, np.ndarray],
+                size: str = "small") -> Dict[str, Any]:
+    """Map a reference PDN teacher/student state_dict to our ``PDN`` params.
+
+    The reference PDNs are plain nn.Sequential stacks
+    (src/efficientAD.py:90-127): parameterised convs sit at indices
+    0/3/6/8 (small) or 0/3/6/8/10/12 (medium); ReLU/AvgPool layers carry no
+    params. Our flax ``PDN`` names them conv0..convN in order.
+    """
+    conv_at = {"small": (0, 3, 6, 8),
+               "medium": (0, 3, 6, 8, 10, 12)}[size]
+    index = {seq: f"conv{i}" for i, seq in enumerate(conv_at)}
+    out: Dict[str, Any] = {}
+    for key, val in state_dict.items():
+        v = np.asarray(val)
+        m = re.match(r"(\d+)\.(weight|bias)", key)
+        if not m or int(m.group(1)) not in index:
+            raise KeyError(f"unmapped PDN key: {key}")
+        name = index[int(m.group(1))]
+        if m.group(2) == "weight":
+            _set(out, f"{name}/kernel", _conv_w(v))
+        else:
+            _set(out, f"{name}/bias", v)
+    return out
+
+
 def stack_scan_layers(params: Dict[str, Any], num_layers: int
                       ) -> Dict[str, Any]:
     """Re-pack per-layer ``rdg_{i}`` subtrees into the nn.scan layout

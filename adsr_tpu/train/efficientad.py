@@ -58,6 +58,9 @@ class EADConfig:
     eval_every: int = 10        # intermediate eval cadence after warmup
     eval_after: int = 700
     seed: int = 1
+    # opt-in ImageNet pretraining penalty: student features on out-of-domain
+    # images are pushed to zero (efficientAD.py:362-364, 475-480)
+    pretrain_penalty: bool = False
 
 
 # --------------------------------------------------------------------------- #
@@ -110,6 +113,36 @@ def color_jitter_ae(x: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
     c = choice[:, None, None, None]
     return jnp.where(c == 0, brightness,
                      jnp.where(c == 1, contrast, saturation))
+
+
+def random_grayscale(x: jnp.ndarray, key: jax.Array,
+                     p: float = 0.3) -> jnp.ndarray:
+    """Per-image RandomGrayscale(p) on [B,H,W,3] in [0,1] — the penalty
+    transform's torchvision.RandomGrayscale(0.3) (efficientAD.py:404-410)."""
+    gray_w = jnp.asarray([0.299, 0.587, 0.114], x.dtype)
+    gray = jnp.tensordot(x, gray_w, axes=([3], [0]))[..., None]
+    pick = jax.random.bernoulli(key, p, (x.shape[0], 1, 1, 1))
+    return jnp.where(pick, jnp.broadcast_to(gray, x.shape), x)
+
+
+def load_penalty_folder(root: str, image_size: int) -> "np.ndarray":
+    """Load ImageNet-penalty images: Resize(2s) + CenterCrop(s)
+    (efficientAD.py:402-410); the per-draw RandomGrayscale(0.3) runs inside
+    the train step via :func:`random_grayscale`."""
+    from PIL import Image
+    rootp = Path(root)
+    files = sorted(p for p in rootp.rglob("*") if p.suffix.lower()
+                   in (".png", ".jpg", ".jpeg", ".bmp"))
+    if not files:
+        raise FileNotFoundError(f"no penalty images under {root}")
+    s = image_size
+    imgs = []
+    for f in files:
+        with Image.open(f) as im:
+            im = im.convert("RGB").resize((2 * s, 2 * s), Image.BILINEAR)
+            arr = np.asarray(im, np.float32) / 255.0
+        imgs.append(arr[s // 2:s // 2 + s, s // 2:s // 2 + s])
+    return np.stack(imgs)
 
 
 # --------------------------------------------------------------------------- #
@@ -167,48 +200,71 @@ class EfficientADTrainer:
         def teacher_fwd(tp, x):
             return teacher.apply({"params": tp}, normalize_imagenet(x))
 
-        @partial(jax.jit, donate_argnums=(0,))
-        def train_step(state: EADState, tp, t_mean, t_std, img_st, img_ae,
-                       lr_rate, rng):
-            t_out_st = teacher.apply({"params": tp}, normalize_imagenet(img_st))
-            t_out_st = (t_out_st - t_mean) / t_std
-            img_ae_j = color_jitter_ae(img_ae, rng)
-            t_out_ae = teacher.apply({"params": tp},
-                                     normalize_imagenet(img_ae_j))
-            t_out_ae = (t_out_ae - t_mean) / t_std
-
-            def loss_fn(params):
-                s_out = student.apply({"params": params["student"]},
-                                      normalize_imagenet(img_st))
-                d_st = (t_out_st - s_out[..., :cfg.out_channels]) ** 2
-                d_hard = jnp.quantile(d_st.reshape(-1), 0.999)
-                mask = d_st >= d_hard
-                loss_hard = jnp.sum(jnp.where(mask, d_st, 0.0)) / jnp.maximum(
-                    jnp.sum(mask), 1)
-
-                ae_out = ae.apply({"params": params["autoencoder"]},
-                                  normalize_imagenet(img_ae_j),
-                                  deterministic=True)
-                s_out_ae = student.apply({"params": params["student"]},
+        def make_train_step(with_penalty: bool):
+            @partial(jax.jit, donate_argnums=(0,))
+            def train_step(state: EADState, tp, t_mean, t_std, img_st,
+                           img_ae, lr_rate, rng, *penalty):
+                t_out_st = teacher.apply({"params": tp},
+                                         normalize_imagenet(img_st))
+                t_out_st = (t_out_st - t_mean) / t_std
+                img_ae_j = color_jitter_ae(img_ae, rng)
+                t_out_ae = teacher.apply({"params": tp},
                                          normalize_imagenet(img_ae_j))
-                loss_ae = jnp.mean((t_out_ae - ae_out) ** 2)
-                loss_stae = jnp.mean(
-                    (ae_out - s_out_ae[..., cfg.out_channels:]) ** 2)
-                total = loss_hard + loss_ae + loss_stae
-                return total, {"total": total, "hard": loss_hard,
-                               "ae": loss_ae, "stae": loss_stae}
+                t_out_ae = (t_out_ae - t_mean) / t_std
+                if with_penalty:
+                    img_pen = random_grayscale(
+                        penalty[0], jax.random.fold_in(rng, 7))
 
-            params = {"student": state.student,
-                      "autoencoder": state.autoencoder}
-            (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params)
-            updates, opt_state = self.optimizer.update(grads, state.opt_state,
-                                                       params)
-            updates = jax.tree_util.tree_map(lambda u: -lr_rate * u, updates)
-            new = optax.apply_updates(params, updates)
-            return EADState(step=state.step + 1, student=new["student"],
-                            autoencoder=new["autoencoder"],
-                            opt_state=opt_state), metrics
+                def loss_fn(params):
+                    s_out = student.apply({"params": params["student"]},
+                                          normalize_imagenet(img_st))
+                    d_st = (t_out_st - s_out[..., :cfg.out_channels]) ** 2
+                    d_hard = jnp.quantile(d_st.reshape(-1), 0.999)
+                    mask = d_st >= d_hard
+                    loss_hard = jnp.sum(jnp.where(mask, d_st, 0.0)) \
+                        / jnp.maximum(jnp.sum(mask), 1)
+                    metrics = {"hard": loss_hard}
+                    if with_penalty:
+                        # push student features on out-of-domain images to
+                        # zero (efficientAD.py:475-480)
+                        s_pen = student.apply(
+                            {"params": params["student"]},
+                            normalize_imagenet(img_pen))
+                        loss_penalty = jnp.mean(
+                            s_pen[..., :cfg.out_channels] ** 2)
+                        loss_st = loss_hard + loss_penalty
+                        metrics["penalty"] = loss_penalty
+                    else:
+                        loss_st = loss_hard
+
+                    ae_out = ae.apply({"params": params["autoencoder"]},
+                                      normalize_imagenet(img_ae_j),
+                                      deterministic=True)
+                    s_out_ae = student.apply({"params": params["student"]},
+                                             normalize_imagenet(img_ae_j))
+                    loss_ae = jnp.mean((t_out_ae - ae_out) ** 2)
+                    loss_stae = jnp.mean(
+                        (ae_out - s_out_ae[..., cfg.out_channels:]) ** 2)
+                    total = loss_st + loss_ae + loss_stae
+                    metrics.update(total=total, ae=loss_ae, stae=loss_stae)
+                    return total, metrics
+
+                params = {"student": state.student,
+                          "autoencoder": state.autoencoder}
+                (_, metrics), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                updates, opt_state = self.optimizer.update(
+                    grads, state.opt_state, params)
+                updates = jax.tree_util.tree_map(lambda u: -lr_rate * u,
+                                                 updates)
+                new = optax.apply_updates(params, updates)
+                return EADState(step=state.step + 1, student=new["student"],
+                                autoencoder=new["autoencoder"],
+                                opt_state=opt_state), metrics
+            return train_step
+
+        train_step = make_train_step(False)
+        self._train_step_pen = make_train_step(True)
 
         @jax.jit
         def predict_maps(state: EADState, tp, t_mean, t_std, img):
@@ -256,11 +312,17 @@ class EfficientADTrainer:
         return cfg.lr * (0.1 if step >= int(0.95 * cfg.train_steps) else 1.0)
 
     def train_step(self, img_st: jnp.ndarray, img_ae: jnp.ndarray,
-                   rng: jax.Array) -> Dict[str, float]:
+                   rng: jax.Array,
+                   img_penalty: jnp.ndarray = None) -> Dict[str, float]:
         lr_rate = self.step_lr(int(self.state.step))
-        self.state, metrics = self._train_step(
-            self.state, self.teacher_params, self.teacher_mean,
-            self.teacher_std, img_st, img_ae, lr_rate, rng)
+        if img_penalty is not None:
+            self.state, metrics = self._train_step_pen(
+                self.state, self.teacher_params, self.teacher_mean,
+                self.teacher_std, img_st, img_ae, lr_rate, rng, img_penalty)
+        else:
+            self.state, metrics = self._train_step(
+                self.state, self.teacher_params, self.teacher_mean,
+                self.teacher_std, img_st, img_ae, lr_rate, rng)
         return {k: float(v) for k, v in metrics.items()}
 
     def map_normalization(self, val_imgs: np.ndarray, batch: int = 8

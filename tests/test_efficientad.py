@@ -77,3 +77,66 @@ class TestTrainerEndToEnd:
         auc, y_true, y_score = tr.test_auc(test_imgs, labels, q)
         assert 0.0 <= auc <= 1.0
         assert y_true == [0, 0, 1, 1]
+
+
+class TestPenalty:
+    def test_random_grayscale(self):
+        from adsr_tpu.train.efficientad import random_grayscale
+        x = jnp.asarray(np.random.RandomState(0).rand(32, 8, 8, 3),
+                        jnp.float32)
+        y = np.asarray(random_grayscale(x, jax.random.key(0), p=1.0))
+        # all channels equal when forced gray
+        np.testing.assert_allclose(y[..., 0], y[..., 1], atol=1e-6)
+        y0 = np.asarray(random_grayscale(x, jax.random.key(0), p=0.0))
+        np.testing.assert_array_equal(y0, np.asarray(x))
+
+    @pytest.mark.slow
+    def test_penalty_step_adds_term(self):
+        cfg = EADConfig(train_steps=2, batch_size=1, model_size="small",
+                        image_size=256, out_channels=16,
+                        pretrain_penalty=True)
+        tr = EfficientADTrainer(cfg, log=lambda *_: None)
+        rng = np.random.RandomState(0)
+        img = jnp.asarray(rng.rand(1, 256, 256, 3).astype(np.float32))
+        pen = jnp.asarray(rng.rand(1, 256, 256, 3).astype(np.float32))
+        m = tr.train_step(img, img, jax.random.key(0), pen)
+        assert "penalty" in m and np.isfinite(m["penalty"])
+        assert m["penalty"] > 0
+        # without the penalty batch the term is absent
+        m2 = tr.train_step(img, img, jax.random.key(1))
+        assert "penalty" not in m2
+
+
+class TestPDNConversion:
+    """Teacher-weight conversion path (reference efficientAD.py:429-430)."""
+
+    def _roundtrip(self, size, out_channels):
+        torch = pytest.importorskip("torch")
+        from reference_compat import import_reference
+        try:
+            ead = import_reference("efficientAD")
+        except Exception as e:
+            pytest.skip(f"reference import unavailable: {e}")
+        from adsr_tpu.io.torch_convert import convert_pdn
+        from adsr_tpu.models.efficientad import PDN
+
+        build = ead.get_pdn_small if size == "small" else ead.get_pdn_medium
+        torch.manual_seed(0)
+        tm = build(out_channels)
+        tm.eval()
+        sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+        params = convert_pdn(sd, size=size)
+
+        x = np.random.RandomState(3).rand(1, 64, 64, 3).astype(np.float32)
+        with torch.no_grad():
+            want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+        got = np.asarray(PDN(out_channels=out_channels, size=size).apply(
+            {"params": jax.tree_util.tree_map(np.asarray, params)}, x))
+        np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want,
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_small_teacher_numeric_parity(self):
+        self._roundtrip("small", 24)
+
+    def test_medium_teacher_numeric_parity(self):
+        self._roundtrip("medium", 24)

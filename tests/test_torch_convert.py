@@ -170,36 +170,11 @@ class TestConvertDRN:
 
 def _import_reference():
     """Import the reference torch models (reference src/drct.py:716-898,
-    src/drn.py:160-270). The reference modules import skimage/imageio/tqdm at
-    top level without using them in the model classes; stub any that are
-    missing in this environment so the import succeeds."""
-    import sys
-    import types
-
-    if "/root/reference" not in sys.path:
-        sys.path.insert(0, "/root/reference")
-    for mod in ("skimage", "skimage.color", "imageio", "imageio.v2",
-                "tqdm", "tifffile", "torchvision", "torchvision.transforms",
-                "torchvision.datasets"):
-        try:
-            __import__(mod)
-        except (ImportError, TypeError):
-            stub = types.ModuleType(mod)
-
-            def _getattr(name):
-                if name.startswith("__"):
-                    raise AttributeError(name)
-                return lambda *a, **k: None
-
-            stub.__getattr__ = _getattr
-            stub.__path__ = []  # so `import pkg.sub` consults sys.modules
-            sys.modules[mod] = stub
-            if "." in mod:
-                parent, child = mod.rsplit(".", 1)
-                setattr(sys.modules[parent], child, stub)
+    src/drn.py:160-270); skip when the reference tree is unavailable."""
+    from reference_compat import import_reference
     try:
-        from src.drct import DRCT as TorchDRCT
-        from src.drn import DRN as TorchDRN
+        TorchDRCT = import_reference("drct").DRCT
+        TorchDRN = import_reference("drn").DRN
     except Exception as e:  # pragma: no cover - environment-dependent
         pytest.skip(f"reference import unavailable: {e}")
     return TorchDRCT, TorchDRN
