@@ -169,6 +169,19 @@ def evaluate_anomaly(exp: Experiment, params, data_root: str,
         "psnr": [-float(p) for p in scores_psnr],
     })
 
+    if out_dir:
+        # ROC curves + difference/SSIM heatmaps (helpers.py:436-451;
+        # notebooks/test.ipynb cells 11-21)
+        from adsr_tpu.eval.visual import save_heatmaps, save_roc_curves
+        save_roc_curves(str(Path(out_dir) / "roc_curve.pdf"), y_true, {
+            "1-SSIM": scores_ssim,
+            "MSE": scores_mse,
+            "-PSNR": [-float(p) for p in scores_psnr],
+        })
+        n = save_heatmaps(out_dir, hr_u8, sr_u8, filenames, splits,
+                          window=best_ws)
+        log(f"Saved ROC curve and {n} heatmap figures to {out_dir}")
+
     return {
         "specificity": spec,
         "auc_ssim": auc_ssim, "auc_mse": auc_mse, "auc_psnr": auc_psnr,

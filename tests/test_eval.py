@@ -111,3 +111,24 @@ class TestRunDir:
             "model_best.msgpack")
         with pytest.raises(FileNotFoundError):
             resolve_checkpoint(str(tmp_path / "nope"))
+
+
+class TestVisualArtifacts:
+    def test_roc_curve_pdf(self, tmp_path):
+        from adsr_tpu.eval.visual import save_roc_curves
+        y = [0, 0, 1, 1]
+        path = save_roc_curves(str(tmp_path / "roc.pdf"), y, {
+            "a": [0.1, 0.2, 0.8, 0.9], "b": [0.3, 0.1, 0.4, 0.2]})
+        import os
+        assert os.path.getsize(path) > 0
+
+    def test_heatmaps_written(self, tmp_path):
+        from adsr_tpu.eval.visual import save_heatmaps
+        rng = np.random.RandomState(0)
+        hr = (rng.rand(3, 24, 24, 1) * 255).astype(np.uint8)
+        sr = (rng.rand(3, 24, 24, 1) * 255).astype(np.uint8)
+        n = save_heatmaps(str(tmp_path), hr, sr, ["a", "b", "c"],
+                          ["good", "bad", "bad"], window=5, max_images=1)
+        assert n == 2  # one per split
+        assert (tmp_path / "heatmaps" / "good" / "a.png").exists()
+        assert (tmp_path / "heatmaps" / "bad" / "b.png").exists()
