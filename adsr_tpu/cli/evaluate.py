@@ -48,6 +48,11 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     p.add_argument("--precision", type=str, default="fp32",
                    choices=["bf16", "fp32"])
     p.add_argument("--workers", type=int, default=0)  # compat; unused
+    p.add_argument("--tile", type=int, default=0,
+                   help="LR tile size for overlapped-tile serving; 0 = "
+                        "auto (tiles only when input exceeds train size)")
+    p.add_argument("--tile-overlap", type=int, default=8,
+                   help="LR-pixel overlap between serving tiles")
 
     if pre_args.config and os.path.isfile(pre_args.config):
         import yaml
@@ -108,7 +113,8 @@ def main(argv: Optional[List[str]] = None):
 
     result = evaluate_anomaly(exp, params, data_root, classe,
                               out_dir=out_dir, save_images=args.save_images,
-                              batch=args.batch_size)
+                              batch=args.batch_size, tile=args.tile,
+                              tile_overlap=args.tile_overlap)
     if args.group_div and "filenames" in result:
         from adsr_tpu.eval.auc import roc_auc
         from adsr_tpu.eval.evaluate import grouped_max_scores

@@ -114,8 +114,14 @@ def sweep_best_window(sr_u8: np.ndarray, hr_u8: np.ndarray,
 def evaluate_anomaly(exp: Experiment, params, data_root: str,
                      classe: str, out_dir: Optional[str] = None,
                      save_images: bool = True, batch: int = 8,
-                     mesh=None, log=print) -> Dict[str, object]:
-    """Full anomaly pass over test/good + test/bad (evaluate.py:138-267)."""
+                     mesh=None, log=print, tile: int = 0,
+                     tile_overlap: int = 8) -> Dict[str, object]:
+    """Full anomaly pass over test/good + test/bad (evaluate.py:138-267).
+
+    ``tile > 0`` forces overlapped-tile serving with that LR tile size;
+    tile == 0 auto-enables it when the test LR exceeds the DRCT train size
+    (the reference instead recompiles masks + clamps windows,
+    src/drct.py:426-429 — tiling avoids the full-size compile)."""
     scale = max(exp.data.scale)
 
     def load(split: str) -> SRDataset:
@@ -125,7 +131,18 @@ def evaluate_anomaly(exp: Experiment, params, data_root: str,
 
     ds_good, ds_bad = load("good"), load("bad")
 
-    forward = make_serving_forward(exp, params)
+    from adsr_tpu.core.config import DRCTModelConfig
+    lr_size = max(ds_good.lrs[0].shape[1], ds_good.lrs[0].shape[2])
+    auto_tile = (isinstance(exp.model, DRCTModelConfig)
+                 and lr_size > exp.model.img_size)
+    if tile > 0 or auto_tile:
+        from adsr_tpu.train.trainer import make_tiled_serving_forward
+        forward = make_tiled_serving_forward(exp, params, tile,
+                                             overlap=tile_overlap)
+        log(f"Tiled serving: tile={tile or exp.model.img_size} "
+            f"overlap={tile_overlap} for {lr_size}px LR input")
+    else:
+        forward = make_serving_forward(exp, params)
     sr_g, hr_g = _forward_split(forward, exp, ds_good, batch, mesh)
     sr_b, hr_b = _forward_split(forward, exp, ds_bad, batch, mesh)
     sr_u8 = np.concatenate([sr_g, sr_b])

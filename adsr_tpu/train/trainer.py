@@ -230,6 +230,56 @@ def make_serving_forward(exp: Experiment, params):
     return lambda lr: forward(params, lr)
 
 
+def make_tiled_serving_forward(exp: Experiment, params, tile: int = 0,
+                               overlap: int = 8):
+    """Serving forward for LR inputs LARGER than the compiled tile shape.
+
+    Cuts the LR batch into overlapping `tile`-sized crops, batches them
+    through one compiled tile forward, and feather-blends the SR tiles
+    (eval/tiled.py). The reference handles off-train sizes only by window
+    clamping + mask recompute (src/drct.py:426-429, 492-495) — this path
+    instead serves e.g. 512px eval through the 128px-compiled graph with no
+    full-size compile and bounded VMEM. `tile` defaults to the model's
+    train img_size. Returns ``forward(lr) -> quantized SR``.
+    """
+    import os
+
+    from adsr_tpu.core.config import DRCTModelConfig
+    from adsr_tpu.eval.tiled import tiled_sr_forward
+    scale = max(exp.data.scale)
+    if tile <= 0:
+        tile = exp.model.img_size if isinstance(exp.model, DRCTModelConfig) \
+            else 32
+
+    use_fused = (
+        isinstance(exp.model, DRCTModelConfig)
+        and exp.model.scan_layers
+        and os.environ.get("ADSR_TPU_FUSED", "auto") != "0"
+        and jax.default_backend() not in ("cpu",)
+    )
+    if use_fused:
+        from adsr_tpu.models.factory import compute_dtype
+        from adsr_tpu.ops.fused_drct import fused_drct_apply, prepack_drct
+        dtype = compute_dtype(exp.precision)
+        packed = prepack_drct(params, exp.model, tile, tile, dtype=dtype)
+        raw = lambda crops: fused_drct_apply(packed, exp.model, crops,
+                                             dtype=dtype)
+    else:
+        from adsr_tpu.models.factory import make_model
+        model = make_model(exp.model, exp.precision)
+        raw = lambda crops: model.apply({"params": params}, crops)
+        if not isinstance(exp.model, DRCTModelConfig):
+            _raw = raw
+            raw = lambda crops: _raw(crops)[-1]   # DRN: full-scale output
+
+    @jax.jit
+    def fwd(lr):
+        sr = tiled_sr_forward(raw, lr, tile, overlap, scale)
+        return quantize(sr, exp.data.rgb_range)
+
+    return fwd
+
+
 class Trainer:
     """Epoch driver with the reference's terminate/test cadence."""
 
