@@ -105,6 +105,18 @@ def _pack_rdg_layer(layer_params: Dict, cfg: DRCTModelConfig,
         scale = (c // nh) ** -0.5
         pk["wqkv"] = pk["wqkv"].at[:, :c].multiply(scale)
         pk["bqkv"] = pk["bqkv"].at[:, :c].multiply(scale)
+        # fold the LayerNorm affine into the following matmul:
+        #   (xhat*s + b) @ W + bw == xhat @ (s[:,None]*W) + (b @ W + bw)
+        # so the kernel normalises WITHOUT affine — two fewer full-tensor
+        # VPU passes per LN (4 per block). f32 fold, then cast.
+        raw = layer_params[f"swin{k+1}"]
+        for lname, wname, bname in (("norm1", "wqkv", "bqkv"),
+                                    ("norm2", "w1", "b1")):
+            s = jnp.asarray(raw[lname]["scale"], jnp.float32)
+            bl = jnp.asarray(raw[lname]["bias"], jnp.float32)
+            w32 = pk[wname].astype(jnp.float32)
+            pk[bname] = pk[bname] + bl[None, :] @ w32[:c]
+            pk[wname] = (w32.at[:c].multiply(s[:, None])).astype(dtype)
         # additive term flattened to [P*nh*gn, gn] so the kernel's softmax
         # phase is ONE bias-add + softmax sweep over all (pair, head) tiles
         attn = build_attn_term(bias, h, w, win, nh, masks[shift])
@@ -254,20 +266,20 @@ def _rdg_kernel_impl(x_ref, *refs, h, w, win, cs, cps, nhs, shifts,
 
         x = cat_scr[:, :c_p].astype(jnp.float32)     # lanes >= c are zero
 
-        def layer_norm(t, s, b, c=c):
+        def layer_norm(t, c=c):
+            # affine folded into the following matmul weights at pack time
             mu = jnp.sum(t, axis=-1, keepdims=True) / c
             d0 = t - mu
             var = (jnp.sum(t * t, axis=-1, keepdims=True) / c) - mu * mu
             inv = jax.lax.rsqrt(var + 1e-6)
-            return (d0 * inv) * s + b
+            return d0 * inv
 
         bqkv = bvec_ref[0:1, :c3_p]
         bproj = bvec_ref[1:2, :c_p]
         b1 = bvec_ref[2:3, :f_p]
         b2 = bvec_ref[3:4, :c_p]
 
-        y = layer_norm(x, bvec_ref[4:5, :c_p], bvec_ref[5:6, :c_p]) \
-            .astype(mm)
+        y = layer_norm(x).astype(mm)
         qkv_scr[:, :c3_p] = (
             jnp.dot(y, wqkv_ref[...], preferred_element_type=jnp.float32)
             + bqkv).astype(qkv_scr.dtype)
@@ -324,8 +336,7 @@ def _rdg_kernel_impl(x_ref, *refs, h, w, win, cs, cps, nhs, shifts,
         x = x + (jnp.dot(ctx, wproj_ref[...],
                          preferred_element_type=jnp.float32) + bproj)
 
-        y = layer_norm(x, bvec_ref[6:7, :c_p], bvec_ref[7:8, :c_p]) \
-            .astype(mm)
+        y = layer_norm(x).astype(mm)
         hmid = jnp.dot(y, w1_ref[...], preferred_element_type=jnp.float32) \
             + b1
         if _PROBE != "nogelu":

@@ -94,7 +94,6 @@ def bench_train(exp):
     import dataclasses
 
     from adsr_tpu.train.trainer import make_train_step
-    from adsr_tpu.utils.profiling import flops_estimate
 
     exp = dataclasses.replace(
         exp, data=dataclasses.replace(exp.data, batch_size=TRAIN_BATCH))
@@ -107,7 +106,9 @@ def bench_train(exp):
                             jnp.float32, 0.0, 255.0)
     rng = jax.random.key(4)
 
-    step_flops = flops_estimate(step, state, [lr], hr, 2e-4, rng)
+    # analytic: fwd 63 GFLOP/img, bwd ~2x fwd, +1 extra fwd from RDG remat
+    # (XLA cost analysis under-counts lax.scan bodies, so not usable here)
+    step_flops = TRAIN_BATCH * 63e9 * 4.0
 
     @jax.jit
     def loop(state, lr, hr):
