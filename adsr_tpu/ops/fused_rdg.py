@@ -310,33 +310,38 @@ def _rdg_kernel_impl(x_ref, *refs, h, w, win, cs, cps, nhs, shifts,
                     for dst, src, width in plans[wdx]:
                         win_scr[wdx * n + dst:wdx * n + dst + width, :c3_p] \
                             = qkv_scr[src:src + width, :c3_p]
-            # phase 1: all (pair, head) score matmuls back-to-back (MXU);
-            # the 1/sqrt(hd) scale is pre-folded into wqkv at pack time
+            # phase 1: all (pair, head) score matmuls (MXU) with the
+            # bias-add + exp folded per tile — each tile's VPU tail is
+            # independent of the next tile's matmul, so the scheduler can
+            # overlap them. The 1/sqrt(hd) scale is pre-folded into wqkv;
+            # on the serving (bf16-input) path exp runs UNstabilised:
+            # scores are f32 from LN-bounded inputs (|s| << 80, exp
+            # overflows f32 only past ~88) and the -1e30 mask rows still
+            # exp to exactly 0. The f32 path keeps the stabilised form in
+            # phase 2.
+            stable = mm != jnp.bfloat16
             for j in range(npair):
                 rows = slice(j * gn, (j + 1) * gn)
                 for hh in range(nh):
                     q = win_scr[rows, hh * hd:hh * hd + hd]
                     kk = win_scr[rows, c + hh * hd:c + hh * hd + hd]
-                    scores_scr[(j * nh + hh) * gn:(j * nh + hh + 1) * gn, :] \
-                        = jnp.dot(q, kk.T,
-                                  preferred_element_type=jnp.float32) \
-                        .astype(scores_scr.dtype)
-            # phase 2: ONE bias-add + softmax sweep over every score tile
-            # (decoupled from the matmul phases so the VPU never serialises
-            # the MXU pipeline; a_ref is pre-flattened [npair*nh*gn, gn])
+                    srow = slice((j * nh + hh) * gn, (j * nh + hh + 1) * gn)
+                    # kk.T lowers to the MXU's native transposed-operand
+                    # form — an explicit hoisted per-pair transpose measured
+                    # SLOWER (1057 vs 1080 img/s)
+                    s = jnp.dot(q, kk.T, preferred_element_type=jnp.float32) \
+                        + a_ref[srow, :]
+                    if _PROBE != "nosoftmax" and not stable:
+                        s = jnp.exp(s)
+                    scores_scr[srow, :] = s
+            # phase 2: ONE normalisation sweep over every score tile
+            # (a_ref is pre-flattened [npair*nh*gn, gn])
             valid = npair * nh * gn
-            s = scores_scr[:valid, :] + a_ref[...]
+            s = scores_scr[:valid, :]
             if _PROBE == "nosoftmax":
                 p = s
-            elif mm == jnp.bfloat16:
-                # serving path: skip the max-subtract stabilisation. Scores
-                # are f32 from LN-bounded bf16 inputs (|s| << 80 in every
-                # trained checkpoint; exp overflows f32 only past ~88), and
-                # the -1e30 mask rows still exp to exactly 0. Saves 2 of the
-                # 5 full-tensor VPU passes. The f32 path (tests/training
-                # parity) keeps the stabilised form.
-                p = jnp.exp(s)
-                p = p / jnp.sum(p, axis=-1, keepdims=True)
+            elif not stable:
+                p = s / jnp.sum(s, axis=-1, keepdims=True)
             else:
                 s = s - jnp.max(s, axis=-1, keepdims=True)
                 p = jnp.exp(s)
