@@ -15,3 +15,10 @@ os.environ["XLA_FLAGS"] = (
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+# persistent XLA compilation cache: the suite is compile-dominated (the two
+# checkpoint/resume tests alone build several trainer graphs); repeat runs
+# drop from ~35 to a few minutes once the cache is warm
+from adsr_tpu.core.runtime import setup_compilation_cache  # noqa: E402
+
+setup_compilation_cache()
