@@ -172,10 +172,13 @@ def prepack_rdg_stack(params: Dict, cfg: DRCTModelConfig, h: int, w: int,
 
 def fused_rdg(x: jnp.ndarray, blocks: List[Dict[str, jnp.ndarray]],
               cfg: DRCTModelConfig, h: int, w: int) -> jnp.ndarray:
-    """x: [B, L, cat_p-padded? no — [B, L, c_p0]] tokens -> same shape.
+    """x: [B, L, c_p0] tokens -> same shape.
 
     ``blocks`` holds the 5 per-block operand dicts for ONE RDG (leading layer
-    axis already sliced away by lax.scan).
+    axis already sliced away by lax.scan). When B is even, each Pallas
+    program processes TWO images with their swin blocks interleaved — the
+    two dependence chains are disjoint, so the scheduler can overlap one
+    image's VPU phases (LN, softmax, gelu) with the other's MXU matmuls.
     """
     if not _HAS_PLTPU:
         raise NotImplementedError
@@ -187,6 +190,7 @@ def fused_rdg(x: jnp.ndarray, blocks: List[Dict[str, jnp.ndarray]],
     cat_p = g["cat_p"]
     c3ps = tuple(blk["wqkv"].shape[1] for blk in blocks)
     fps = tuple(blk["w1"].shape[1] for blk in blocks)
+    imgs = 4 if b % 4 == 0 else (2 if b % 2 == 0 else 1)
 
     plans_by_shift = {}
     inv_by_shift = {}
@@ -206,7 +210,7 @@ def fused_rdg(x: jnp.ndarray, blocks: List[Dict[str, jnp.ndarray]],
 
     group = _attn_group(nw, n)
     kernel = functools.partial(
-        _rdg_kernel_impl, h=h, w=w, win=win,
+        _rdg_kernel_impl, h=h, w=w, win=win, imgs=imgs,
         cs=g["feats"], cps=g["cps"], nhs=g["heads"], shifts=g["shifts"],
         c3ps=c3ps, fps=fps, cat_p=cat_p,
         plans_by_shift=plans_by_shift, inv_plans_by_shift=inv_by_shift)
@@ -214,20 +218,20 @@ def fused_rdg(x: jnp.ndarray, blocks: List[Dict[str, jnp.ndarray]],
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
-        grid=(b,),
-        in_specs=[pl.BlockSpec((1, l, c0p), lambda i: (i, 0, 0),
+        grid=(b // imgs,),
+        in_specs=[pl.BlockSpec((imgs, l, c0p), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)]
         + [vmem()] * len(operands),
-        out_specs=pl.BlockSpec((1, l, c0p), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((imgs, l, c0p), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, l, c0p), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((l, cat_p), x.dtype),          # concat buffer
-            pltpu.VMEM((l, max(c3ps)), x.dtype),      # qkv / context reuse
-            pltpu.VMEM((l, max(c3ps)), x.dtype),      # window-ordered qkv
-            pltpu.VMEM((l, max(g["cps"])), x.dtype),  # attention context
-            pltpu.VMEM((l * max(g["heads"]), group * n),
-                       jnp.float32),                  # score tiles
+            pltpu.VMEM((imgs * l, cat_p), x.dtype),        # concat buffer
+            pltpu.VMEM((imgs * l, max(c3ps)), x.dtype),    # qkv / ctx reuse
+            pltpu.VMEM((imgs * l, max(c3ps)), x.dtype),    # window-ordered
+            pltpu.VMEM((imgs * l, max(g["cps"])), x.dtype),  # attn context
+            pltpu.VMEM((imgs * l * max(g["heads"]), group * n),
+                       jnp.float32),                       # score tiles
         ],
         compiler_params=(pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024)
@@ -250,10 +254,13 @@ _PROBE = os.environ.get("ADSR_TPU_RDG_PROBE", "")
 _GELU = os.environ.get("ADSR_TPU_GELU", "tanh")
 
 
-def _rdg_kernel_impl(x_ref, *refs, h, w, win, cs, cps, nhs, shifts,
+def _rdg_kernel_impl(x_ref, *refs, h, w, win, imgs, cs, cps, nhs, shifts,
                      c3ps, fps, cat_p, plans_by_shift, inv_plans_by_shift):
     """Kernel body. refs = 5 x (wqkv, wproj, w1, w2, wadj, badj, bvec, attn)
-    + (o_ref, cat_scr, qkv_scr, win_scr, ctx_scr, scores_scr)."""
+    + (o_ref, cat_scr, qkv_scr, win_scr, ctx_scr, scores_scr).
+
+    Processes ``imgs`` images with per-block interleaving: run_block(k, 0)
+    then run_block(k, 1) — independent chains the scheduler can overlap."""
     o_ref, cat_scr, qkv_scr, win_scr, ctx_scr, scores_scr = refs[40:]
     mm = x_ref.dtype
     n = win * win
@@ -261,11 +268,14 @@ def _rdg_kernel_impl(x_ref, *refs, h, w, win, cs, cps, nhs, shifts,
     group = _attn_group(nw, n)
     gn = group * n
     c0p = x_ref.shape[2]
+    l = x_ref.shape[1]
+    max_nh = max(nhs)
 
     cat_scr[:, :] = jnp.zeros_like(cat_scr)
-    cat_scr[:, :c0p] = x_ref[0]
+    for img in range(imgs):
+        cat_scr[img * l:(img + 1) * l, :c0p] = x_ref[img]
 
-    for k in range(5):
+    def run_block(k, img):
         (wqkv_ref, wproj_ref, w1_ref, w2_ref, wadj_ref, badj_ref,
          bvec_ref, a_ref) = refs[8 * k:8 * k + 8]
         c, c_p, nh, shift = cs[k], cps[k], nhs[k], shifts[k]
@@ -273,8 +283,10 @@ def _rdg_kernel_impl(x_ref, *refs, h, w, win, cs, cps, nhs, shifts,
         hd = c // nh
         plans = plans_by_shift[shift]
         inv_plans = inv_plans_by_shift[shift]
+        o = img * l                      # row base in the token scratches
+        so = img * l * max_nh            # row base in the score scratch
 
-        x = cat_scr[:, :c_p].astype(jnp.float32)     # lanes >= c are zero
+        x = cat_scr[o:o + l, :c_p].astype(jnp.float32)  # lanes >= c are zero
 
         def layer_norm(t, c=c):
             # affine folded into the following matmul weights at pack time
@@ -298,46 +310,47 @@ def _rdg_kernel_impl(x_ref, *refs, h, w, win, cs, cps, nhs, shifts,
             return jnp.dot(a, w_ref[...], preferred_element_type=jnp.float32)
 
         y = layer_norm(x).astype(mm)
-        qkv_scr[:, :c3_p] = (mm_or_stub(y, wqkv_ref, c3_p)
-                             + bqkv).astype(qkv_scr.dtype)
+        qkv_scr[o:o + l, :c3_p] = (mm_or_stub(y, wqkv_ref, c3_p)
+                                   + bqkv).astype(qkv_scr.dtype)
 
-        ctx_scr[:, :c_p] = jnp.zeros_like(ctx_scr[:, :c_p])
+        ctx_scr[o:o + l, :c_p] = jnp.zeros_like(ctx_scr[o:o + l, :c_p])
         if _PROBE != "noattn":
             npair = nw // group
             # phase 0: gather qkv rows into window order (all pairs at once)
             if _PROBE != "nogather":
                 for wdx in range(nw):
                     for dst, src, width in plans[wdx]:
-                        win_scr[wdx * n + dst:wdx * n + dst + width, :c3_p] \
-                            = qkv_scr[src:src + width, :c3_p]
+                        win_scr[o + wdx * n + dst:o + wdx * n + dst + width,
+                                :c3_p] = qkv_scr[o + src:o + src + width,
+                                                 :c3_p]
             # phase 1: all (pair, head) score matmuls (MXU) with the
-            # bias-add + exp folded per tile — each tile's VPU tail is
-            # independent of the next tile's matmul, so the scheduler can
-            # overlap them. The 1/sqrt(hd) scale is pre-folded into wqkv;
-            # on the serving (bf16-input) path exp runs UNstabilised:
-            # scores are f32 from LN-bounded inputs (|s| << 80, exp
-            # overflows f32 only past ~88) and the -1e30 mask rows still
-            # exp to exactly 0. The f32 path keeps the stabilised form in
-            # phase 2.
+            # bias-add + exp folded per tile. The 1/sqrt(hd) scale is
+            # pre-folded into wqkv; on the serving (bf16-input) path exp
+            # runs UNstabilised: scores are f32 from LN-bounded inputs
+            # (|s| << 80, exp overflows f32 only past ~88) and the -1e30
+            # mask rows still exp to exactly 0. The f32 path keeps the
+            # stabilised form in phase 2.
             stable = mm != jnp.bfloat16
             for j in range(npair):
-                rows = slice(j * gn, (j + 1) * gn)
+                rows = slice(o + j * gn, o + (j + 1) * gn)
                 for hh in range(nh):
                     q = win_scr[rows, hh * hd:hh * hd + hd]
                     kk = win_scr[rows, c + hh * hd:c + hh * hd + hd]
-                    srow = slice((j * nh + hh) * gn, (j * nh + hh + 1) * gn)
+                    arow = slice((j * nh + hh) * gn, (j * nh + hh + 1) * gn)
+                    srow = slice(so + (j * nh + hh) * gn,
+                                 so + (j * nh + hh + 1) * gn)
                     # kk.T lowers to the MXU's native transposed-operand
                     # form — an explicit hoisted per-pair transpose measured
                     # SLOWER (1057 vs 1080 img/s)
                     s = jnp.dot(q, kk.T, preferred_element_type=jnp.float32) \
-                        + a_ref[srow, :]
+                        + a_ref[arow, :]
                     if _PROBE != "nosoftmax" and not stable:
                         s = jnp.exp(s)
                     scores_scr[srow, :] = s
             # phase 2: ONE normalisation sweep over every score tile
             # (a_ref is pre-flattened [npair*nh*gn, gn])
             valid = npair * nh * gn
-            s = scores_scr[:valid, :]
+            s = scores_scr[so:so + valid, :]
             if _PROBE == "nosoftmax":
                 p = s
             elif not stable:
@@ -346,33 +359,35 @@ def _rdg_kernel_impl(x_ref, *refs, h, w, win, cs, cps, nhs, shifts,
                 s = s - jnp.max(s, axis=-1, keepdims=True)
                 p = jnp.exp(s)
                 p = p / jnp.sum(p, axis=-1, keepdims=True)
-            scores_scr[:valid, :] = p.astype(scores_scr.dtype)
+            scores_scr[so:so + valid, :] = p.astype(scores_scr.dtype)
             # phase 3: all context matmuls back-to-back (MXU)
             for j in range(npair):
                 for hh in range(nh):
-                    v = win_scr[j * gn:(j + 1) * gn,
+                    v = win_scr[o + j * gn:o + (j + 1) * gn,
                                 2 * c + hh * hd:2 * c + hh * hd + hd]
-                    pj = scores_scr[(j * nh + hh) * gn:
-                                    (j * nh + hh + 1) * gn, :].astype(mm)
-                    ctx_scr[j * gn:(j + 1) * gn, hh * hd:(hh + 1) * hd] = \
+                    pj = scores_scr[so + (j * nh + hh) * gn:
+                                    so + (j * nh + hh + 1) * gn, :].astype(mm)
+                    ctx_scr[o + j * gn:o + (j + 1) * gn,
+                            hh * hd:(hh + 1) * hd] = \
                         jnp.dot(pj, v, preferred_element_type=jnp.float32) \
                         .astype(ctx_scr.dtype)
 
             if _PROBE != "nogather":
                 for wdx in range(nw):
                     for dst, src, width in inv_plans[wdx]:
-                        qkv_scr[dst:dst + width, :c_p] = \
-                            ctx_scr[src:src + width, :c_p]
+                        qkv_scr[o + dst:o + dst + width, :c_p] = \
+                            ctx_scr[o + src:o + src + width, :c_p]
 
-        ctx = qkv_scr[:, :c_p].astype(mm)
+        ctx = qkv_scr[o:o + l, :c_p].astype(mm)
         x = x + (mm_or_stub(ctx, wproj_ref, c_p) + bproj)
 
         y = layer_norm(x).astype(mm)
         hmid = mm_or_stub(y, w1_ref, f_p) + b1
         if _PROBE != "nogelu":
             if _GELU == "tanh" and mm == jnp.bfloat16:
-                # GPT-2-style tanh gelu (serving only; opt-in via
-                # ADSR_TPU_GELU=tanh): max abs err ~1e-3 vs exact
+                # GPT-2-style tanh gelu (serving only; ADSR_TPU_GELU=exact
+                # opts out): 62.6 dB agreement with exact on a trained
+                # checkpoint, max 1/255 level — below bf16 rounding
                 inner = 0.7978845608028654 * (
                     hmid + 0.044715 * hmid * hmid * hmid)
                 hmid = 0.5 * hmid * (1.0 + jnp.tanh(inner))
@@ -394,7 +409,12 @@ def _rdg_kernel_impl(x_ref, *refs, h, w, win, cs, cps, nhs, shifts,
         if k < 4:
             adj = jnp.where(adj >= 0, adj, 0.2 * adj)      # leaky_relu(0.2)
             base = cat_p - adj.shape[1]
-            cat_scr[:, base:] = cat_scr[:, base:] + adj.astype(cat_scr.dtype)
+            cat_scr[o:o + l, base:] = cat_scr[o:o + l, base:] \
+                + adj.astype(cat_scr.dtype)
         else:
-            out = 0.2 * adj[:, :c0p] + x_ref[0].astype(jnp.float32)
-            o_ref[0] = out.astype(o_ref.dtype)
+            out = 0.2 * adj[:, :c0p] + x_ref[img].astype(jnp.float32)
+            o_ref[img] = out.astype(o_ref.dtype)
+
+    for k in range(5):
+        for img in range(imgs):
+            run_block(k, img)

@@ -14,10 +14,10 @@ from adsr_tpu.models.drct import DRCT
 from adsr_tpu.ops.fused_drct import fused_drct_apply, prepack_drct
 
 
-def _check(cfg, seed=0, atol=2e-3):
+def _check(cfg, seed=0, atol=2e-3, batch=2):
     model = DRCT(cfg)
     rng = np.random.RandomState(seed)
-    x = jnp.asarray(rng.rand(2, cfg.img_size, cfg.img_size, cfg.in_chans)
+    x = jnp.asarray(rng.rand(batch, cfg.img_size, cfg.img_size, cfg.in_chans)
                     * 255, jnp.float32)
     params = model.init(jax.random.key(0), x)["params"]
     want = np.asarray(model.apply({"params": params}, x))
@@ -29,9 +29,10 @@ def _check(cfg, seed=0, atol=2e-3):
 
 
 def test_rdg_matches_flax_model():
+    # batch 4 exercises the 4-image-interleaved program variant
     _check(DRCTModelConfig(upscale=2, img_size=8, window_size=4, in_chans=1,
                            embed_dim=12, num_layers=2, num_heads=2, gc=4,
-                           scan_layers=True))
+                           scan_layers=True), batch=4)
 
 
 def test_rdg_matches_flax_model_heads_fixup():
