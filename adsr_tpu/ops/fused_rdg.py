@@ -101,8 +101,14 @@ def _pack_rdg_layer(layer_params: Dict, cfg: DRCTModelConfig,
                                    dtype=dtype)
         bias = pk.pop("bias")
         # fold the 1/sqrt(hd) query scale into the q columns of wqkv/bqkv so
-        # the kernel's score matmul needs no extra VPU multiply
+        # the kernel's score matmul needs no extra VPU multiply. On the bf16
+        # serving path the softmax runs as exp2 (the VPU's native pow2 —
+        # saves the x*log2(e) multiply inside every exp lowering), so log2(e)
+        # is pre-folded here and into the additive attention term below:
+        # exp2(log2e*(qk + a)) == exp(qk + a), softmax-invariant.
         scale = (c // nh) ** -0.5
+        if _EXP2 and dtype == jnp.bfloat16:
+            scale = scale * _LOG2E
         pk["wqkv"] = pk["wqkv"].at[:, :c].multiply(scale)
         pk["bqkv"] = pk["bqkv"].at[:, :c].multiply(scale)
         # fold the LayerNorm affine into the following matmul:
@@ -146,8 +152,12 @@ def _pack_rdg_layer(layer_params: Dict, cfg: DRCTModelConfig,
                     "wadj": wadj, "badj": badj, "bvec": bvec,
                     # f32 attention term + f32 score scratch: measured FASTER
                     # than bf16 (1081 vs 1068 img/s) — v5e f32 transcendental
-                    # throughput matches bf16, and bf16 adds cast overhead
-                    "attn": attn.astype(jnp.float32)})
+                    # throughput matches bf16, and bf16 adds cast overhead.
+                    # log2(e)-scaled when the serving softmax runs as exp2
+                    # (see the query-scale fold above); -1e30 mask entries
+                    # stay finite in f32 and exp2 to exactly 0.
+                    "attn": attn.astype(jnp.float32)
+                    * (_LOG2E if _EXP2 and dtype == jnp.bfloat16 else 1.0)})
     return out
 
 
@@ -190,7 +200,14 @@ def fused_rdg(x: jnp.ndarray, blocks: List[Dict[str, jnp.ndarray]],
     cat_p = g["cat_p"]
     c3ps = tuple(blk["wqkv"].shape[1] for blk in blocks)
     fps = tuple(blk["w1"].shape[1] for blk in blocks)
-    imgs = 4 if b % 4 == 0 else (2 if b % 2 == 0 else 1)
+    # images interleaved per program: 4 is the sweet spot (2: 1146, 4: 1180
+    # img/s); 8 doubles the unrolled code again and Mosaic compile time
+    # explodes past 50 min — not viable
+    max_imgs = int(os.environ.get("ADSR_TPU_RDG_IMGS", "4"))
+    imgs = 1
+    for cand in (2, 4, 8):
+        if cand <= max_imgs and b % cand == 0:
+            imgs = cand
 
     plans_by_shift = {}
     inv_by_shift = {}
@@ -252,6 +269,10 @@ _PROBE = os.environ.get("ADSR_TPU_RDG_PROBE", "")
 # serving path's own rounding — for +13% throughput. The f32 path
 # (tests, training, torch parity) always uses the exact form.
 _GELU = os.environ.get("ADSR_TPU_GELU", "tanh")
+# serving softmax via exp2 with log2(e) pre-folded into the packed q-scale
+# and attention term (ADSR_TPU_RDG_EXP2=0 opts out)
+_EXP2 = os.environ.get("ADSR_TPU_RDG_EXP2", "1") != "0"
+_LOG2E = 1.4426950408889634
 
 
 def _rdg_kernel_impl(x_ref, *refs, h, w, win, imgs, cs, cps, nhs, shifts,
@@ -345,21 +366,26 @@ def _rdg_kernel_impl(x_ref, *refs, h, w, win, imgs, cs, cps, nhs, shifts,
                     s = jnp.dot(q, kk.T, preferred_element_type=jnp.float32) \
                         + a_ref[arow, :]
                     if _PROBE != "nosoftmax" and not stable:
-                        s = jnp.exp(s)
+                        # normalise HERE, while the exp'd tile is still in
+                        # registers: recip of the [gn,1] row sums + broadcast
+                        # multiply replaces phase 2's full read->divide->write
+                        # sweep over every score tile (~3 VMEM passes + gn x
+                        # gn f32 divides per tile, measurably the largest
+                        # remaining VPU block). exp2 (native pow2) when
+                        # log2(e) was pre-folded into the packed weights.
+                        s = jnp.exp2(s) if _EXP2 else jnp.exp(s)
+                        s = s * (1.0 / jnp.sum(s, axis=-1, keepdims=True))
                     scores_scr[srow, :] = s
-            # phase 2: ONE normalisation sweep over every score tile
-            # (a_ref is pre-flattened [npair*nh*gn, gn])
-            valid = npair * nh * gn
-            s = scores_scr[so:so + valid, :]
-            if _PROBE == "nosoftmax":
-                p = s
-            elif not stable:
-                p = s / jnp.sum(s, axis=-1, keepdims=True)
-            else:
+            # phase 2 (f32/stable path only): ONE stabilised-softmax sweep
+            # over every score tile (a_ref is pre-flattened [npair*nh*gn, gn]);
+            # the serving path already normalised tile-hot in phase 1
+            if stable and _PROBE != "nosoftmax":
+                valid = npair * nh * gn
+                s = scores_scr[so:so + valid, :]
                 s = s - jnp.max(s, axis=-1, keepdims=True)
                 p = jnp.exp(s)
                 p = p / jnp.sum(p, axis=-1, keepdims=True)
-            scores_scr[so:so + valid, :] = p.astype(scores_scr.dtype)
+                scores_scr[so:so + valid, :] = p.astype(scores_scr.dtype)
             # phase 3: all context matmuls back-to-back (MXU)
             for j in range(npair):
                 for hh in range(nh):
