@@ -62,6 +62,11 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     p.add_argument("--embed-dim", type=int, default=180)
     p.add_argument("--num-layers", type=int, default=12)
     p.add_argument("--num-heads", type=int, default=6)
+    p.add_argument("--remat-policy", type=str, default="full",
+                   choices=["full", "dots"],
+                   help="DRCT backward remat granularity: 'full' recomputes "
+                        "each RDG (min memory); 'dots' saves matmul outputs "
+                        "(faster when activations fit HBM)")
 
     if pre_args.config is not None and os.path.isfile(pre_args.config):
         import yaml
@@ -92,7 +97,8 @@ def build_experiment(args: argparse.Namespace) -> Experiment:
                if args.pretrain else ".")
         exp = drct_experiment(pre_train=pre, embed_dim=args.embed_dim,
                               num_layers=args.num_layers,
-                              num_heads=args.num_heads, **common)
+                              num_heads=args.num_heads,
+                              remat_policy=args.remat_policy, **common)
     import dataclasses
     exp = dataclasses.replace(exp, ckpt_every=args.ckpt_every)
     if args.test_only:

@@ -80,6 +80,12 @@ class DRCTModelConfig:
     # scan body): trades ~2x RDG recompute for ~12x less activation memory —
     # required to train 256px inputs (4096 tokens) within 16GB HBM.
     remat: bool = True
+    # remat granularity: "full" recomputes everything (min memory);
+    # "dots" saves matmul outputs and recomputes only elementwise ops
+    # (jax.checkpoint_policies.dots_with_no_batch_dims_saveable) — skips
+    # most of the extra forward for sizes whose activations fit HBM
+    # (128px training: ~7 GB saved dots, well within 16 GB).
+    remat_policy: str = "full"
 
     @property
     def scale(self) -> Tuple[int, ...]:
@@ -274,7 +280,8 @@ def drct_experiment(classe: str = "grid", resolution: int = 128, scale: int = 4,
                     run_tag: Optional[str] = None,
                     embed_dim: int = 180, num_layers: int = 12,
                     num_heads: int = 6, gc: int = 32,
-                    dataset: str = "mvtec") -> Experiment:
+                    dataset: str = "mvtec",
+                    remat_policy: str = "full") -> Experiment:
     n_colors = 3 if (dataset == "mvtec" and classe == "carpet") else 1
     img_size = resolution // scale
     window_size = max(1, img_size // 4)
@@ -285,7 +292,8 @@ def drct_experiment(classe: str = "grid", resolution: int = 128, scale: int = 4,
     model = DRCTModelConfig(upscale=scale, img_size=img_size,
                             window_size=window_size, in_chans=n_colors,
                             embed_dim=embed_dim, num_layers=num_layers,
-                            num_heads=num_heads, gc=gc)
+                            num_heads=num_heads, gc=gc,
+                            remat_policy=remat_policy)
     data = DataConfig(dataset=dataset, classe=classe, data_dir=data_dir,
                       data_root=root,
                       resolution=resolution, patch_size=resolution,

@@ -337,7 +337,13 @@ class DRCT(nn.Module):
             # one compiled RDG body scanned num_layers times; params carry a
             # leading [num_layers] axis under 'rdgs'. With remat, each RDG's
             # activations are recomputed in backward instead of stored.
-            body_cls = nn.remat(_RDGScanBody) if cfg.remat else _RDGScanBody
+            if cfg.remat:
+                policy = (jax.checkpoint_policies
+                          .dots_with_no_batch_dims_saveable
+                          if cfg.remat_policy == "dots" else None)
+                body_cls = nn.remat(_RDGScanBody, policy=policy)
+            else:
+                body_cls = _RDGScanBody
             scanned = nn.scan(
                 body_cls,
                 variable_axes={"params": 0},

@@ -50,9 +50,8 @@ from jax.experimental import pallas as pl
 
 from adsr_tpu.core.config import DRCTModelConfig
 from adsr_tpu.models.drct import shift_attn_mask
-from adsr_tpu.ops.fused_swin_block import (_HAS_PLTPU, _INTERPRET, _attn_group,
-                                           _rup, _window_row_slices,
-                                           build_attn_term,
+from adsr_tpu.ops.fused_swin_block import (_HAS_PLTPU, _INTERPRET, _rup,
+                                           _window_row_slices, build_attn_term,
                                            pack_swin_weights_jnp)
 
 if _HAS_PLTPU:
@@ -78,6 +77,21 @@ def rdg_geometry(cfg: DRCTModelConfig) -> Dict[str, Tuple]:
 def _adj_base(g: Dict, k: int) -> int:
     """First lane of the aligned window holding adjust-k's output columns."""
     return 0 if k == 4 else (g["feats"][k] // 128) * 128
+
+
+def _rdg_group(nw: int, n: int) -> int:
+    """Windows batched per score tile in the RDG kernel. The additive term
+    masks the off-diagonal, so any group size is numerically per-window
+    softmax. Measured on v5e (batch 128, 4-img interleave): group 2 -> 1180
+    img/s, group 4 -> 1134 — the doubled exp/softmax elements and score-
+    scratch traffic of [4N,4N] tiles outweigh the halved op count, so pairs
+    stay the default (ADSR_TPU_RDG_GROUP overrides)."""
+    cap = int(os.environ.get("ADSR_TPU_RDG_GROUP", "2"))
+    group = 1
+    for cand in (2, 4, 8):
+        if cand <= cap and nw % cand == 0 and cand * n <= 512:
+            group = cand
+    return group
 
 
 # --------------------------------------------------------------------------- #
@@ -124,8 +138,10 @@ def _pack_rdg_layer(layer_params: Dict, cfg: DRCTModelConfig,
             pk[bname] = pk[bname] + bl[None, :] @ w32[:c]
             pk[wname] = (w32.at[:c].multiply(s[:, None])).astype(dtype)
         # additive term flattened to [P*nh*gn, gn] so the kernel's softmax
-        # phase is ONE bias-add + softmax sweep over all (pair, head) tiles
-        attn = build_attn_term(bias, h, w, win, nh, masks[shift])
+        # phase is ONE bias-add + softmax sweep over all (group, head) tiles
+        nw = (h // win) * (w // win)
+        attn = build_attn_term(bias, h, w, win, nh, masks[shift],
+                               group=_rdg_group(nw, win * win))
         attn = attn.reshape(-1, attn.shape[-1])
         # biases + LN affine as one [8, c3_p] row block
         c3_p = pk["wqkv"].shape[1]
@@ -225,7 +241,7 @@ def fused_rdg(x: jnp.ndarray, blocks: List[Dict[str, jnp.ndarray]],
         operands += [blk["wqkv"], blk["wproj"], blk["w1"], blk["w2"],
                      blk["wadj"], blk["badj"], blk["bvec"], blk["attn"]]
 
-    group = _attn_group(nw, n)
+    group = _rdg_group(nw, n)
     kernel = functools.partial(
         _rdg_kernel_impl, h=h, w=w, win=win, imgs=imgs,
         cs=g["feats"], cps=g["cps"], nhs=g["heads"], shifts=g["shifts"],
@@ -251,7 +267,9 @@ def fused_rdg(x: jnp.ndarray, blocks: List[Dict[str, jnp.ndarray]],
                        jnp.float32),                       # score tiles
         ],
         compiler_params=(pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024)
+            # group-4 score tiles + their f32 additive terms push total VMEM
+            # (weights + attn + 6 scratches) to ~98 MB; v5e has 128 MB
+            vmem_limit_bytes=120 * 1024 * 1024)
             if _HAS_PLTPU and not _INTERPRET else None),
         interpret=_INTERPRET,
     )(x, *operands)
@@ -286,7 +304,7 @@ def _rdg_kernel_impl(x_ref, *refs, h, w, win, imgs, cs, cps, nhs, shifts,
     mm = x_ref.dtype
     n = win * win
     nw = (h // win) * (w // win)
-    group = _attn_group(nw, n)
+    group = _rdg_group(nw, n)
     gn = group * n
     c0p = x_ref.shape[2]
     l = x_ref.shape[1]

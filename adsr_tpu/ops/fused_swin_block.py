@@ -156,24 +156,28 @@ def _attn_group(nw: int, n: int) -> int:
 
 def build_attn_term(bias: jnp.ndarray, h: int, w: int, window: int,
                     num_heads: int,
-                    mask: Optional[np.ndarray] = None) -> jnp.ndarray:
-    """Additive attention term per (window-group, head), pair-grouped when the
-    kernel batches window pairs. Pure function of the (learned) relative
-    position bias [H, N, N] and the static shift mask — build it ONCE at
-    params-load time (prepack) instead of per forward."""
+                    mask: Optional[np.ndarray] = None,
+                    group: Optional[int] = None) -> jnp.ndarray:
+    """Additive attention term per (window-group, head), block-diagonal when
+    the kernel batches ``group`` windows per score tile. Pure function of the
+    (learned) relative position bias [H, N, N] and the static shift mask —
+    build it ONCE at params-load time (prepack) instead of per forward."""
     n = window * window
     nw = (h // window) * (w // window)
     a = jnp.broadcast_to(jnp.asarray(bias)[None], (nw, num_heads, n, n))
     if mask is not None:
         a = a + jnp.asarray(mask)[:, None]
-    group = _attn_group(nw, n)
-    if group == 2:
-        # pair-block-diagonal with -1e30 off-diagonal (per-window softmax)
-        ap = a.reshape(nw // 2, 2, num_heads, n, n)
-        big = jnp.full((nw // 2, num_heads, 2 * n, 2 * n), -1e30,
-                       jnp.float32)
-        big = big.at[:, :, :n, :n].set(ap[:, 0])
-        big = big.at[:, :, n:, n:].set(ap[:, 1])
+    if group is None:
+        group = _attn_group(nw, n)
+    if group > 1:
+        # group-block-diagonal with -1e30 off-diagonal, so grouped softmax
+        # is exactly per-window softmax
+        ap = a.reshape(nw // group, group, num_heads, n, n)
+        big = jnp.full((nw // group, num_heads, group * n, group * n),
+                       -1e30, jnp.float32)
+        for i in range(group):
+            big = big.at[:, :, i * n:(i + 1) * n, i * n:(i + 1) * n] \
+                .set(ap[:, i])
         a = big
     return a
 

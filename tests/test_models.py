@@ -159,6 +159,31 @@ class TestDRCTScanLayers:
         np.testing.assert_allclose(np.asarray(o_loop), np.asarray(o_scan),
                                    atol=1e-4)
 
+    def test_remat_policy_dots_same_grads(self):
+        """remat_policy='dots' (save matmul outputs, recompute elementwise)
+        computes the same value and gradients as full remat."""
+        import dataclasses
+        cfg = DRCTModelConfig(upscale=2, img_size=8, window_size=4, in_chans=1,
+                              embed_dim=12, num_layers=2, num_heads=2, gc=4,
+                              scan_layers=True, remat=True)
+        x = jnp.asarray(np.random.RandomState(1).rand(2, 8, 8, 1) * 255,
+                        jnp.float32)
+        m_full = DRCT(cfg)
+        p = m_full.init(jax.random.key(0), x)["params"]
+        m_dots = DRCT(dataclasses.replace(cfg, remat_policy="dots"))
+
+        def loss(m):
+            return lambda p: jnp.mean(m.apply({"params": p}, x) ** 2)
+
+        v_full, g_full = jax.value_and_grad(loss(m_full))(p)
+        v_dots, g_dots = jax.value_and_grad(loss(m_dots))(p)
+        np.testing.assert_allclose(float(v_full), float(v_dots), rtol=1e-6)
+        flat_f = jax.tree_util.tree_leaves(g_full)
+        flat_d = jax.tree_util.tree_leaves(g_dots)
+        for a, b in zip(flat_f, flat_d):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=1e-4)
+
     def test_scan_trains(self):
         """drop_path rates flow through scan during training (rngs needed)."""
         cfg = DRCTModelConfig(upscale=2, img_size=8, window_size=4, in_chans=1,
