@@ -139,15 +139,22 @@ def fused_drct_apply(packed: Dict, cfg: DRCTModelConfig, x: jnp.ndarray,
 
     if "blocks" in packed:
         # whole-RDG Pallas programs: tokens stay VMEM-resident through all 5
-        # swin blocks + adjust convs + dense concat + 0.2 residual
+        # swin blocks + adjust convs + dense concat + 0.2 residual. The
+        # kernel keeps tokens WINDOW-ORDER RESIDENT (shift-0 window order,
+        # see ops/fused_rdg.py) — permute once here, undo after the scan.
         from adsr_tpu.ops.fused_rdg import fused_rdg
         c0p = -(-d // 128) * 128
         t = jnp.pad(t0, ((0, 0), (0, 0), (0, c0p - d)))
+        hw, ww = h // win, w // win
+        t = (t.reshape(b, hw, win, ww, win, c0p)
+             .transpose(0, 1, 3, 2, 4, 5).reshape(b, h * w, c0p))
 
         def rdg_body(t, blocks):
             return fused_rdg(t, blocks, cfg, h, w), None
 
         t, _ = lax.scan(rdg_body, t, packed["blocks"])
+        t = (t.reshape(b, hw, ww, win, win, c0p)
+             .transpose(0, 1, 3, 2, 4, 5).reshape(b, h * w, c0p))
         t = t[:, :, :d]
     else:
         def layer(t, xs):

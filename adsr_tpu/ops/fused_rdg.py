@@ -23,9 +23,21 @@ entirely inside VMEM. Two tricks make every tensor op lane-aligned:
   lane padding never leaks (LN scales for padded lanes are zero as well).
 
 Attention reuses the window-pair strategy proven in fused_swin_block: pairs
-of 8x8 windows gathered into [2N, 3C] rows, one [2N, 2N] score tile per
-(pair, head) with a pair-block-diagonal additive term (bias + shift mask,
--1e30 off-diagonal), f32 softmax, per-head context matmul.
+of 8x8 windows as [2N, 3C] rows, one [2N, 2N] score tile per (pair, head)
+with a pair-block-diagonal additive term (bias + shift mask, -1e30
+off-diagonal), f32 softmax, per-head context matmul.
+
+Tokens are WINDOW-ORDER RESIDENT: the XLA glue (ops/fused_drct.py) delivers
+``x`` already permuted to shift-0 window order (a reshape/transpose fused
+into the patch-embed, undone once after the 12-RDG scan), and every
+row-wise op in the block (LayerNorm, the five matmuls, gelu, the dense
+concat) is row-order invariant. So the shift-0 blocks (k = 0, 2, 4) run
+with ZERO gather/scatter copies, and the shifted blocks (k = 1, 3) gather
+only their [L, c_p] INPUT rows through a pre-composed shift0-order ->
+shifted-order permutation plan and scatter-add only their [L, gc-window]
+adjust output back — ~5x less copy traffic than gathering the [L, 3C] qkv
+and scattering the [L, C] context every block (the round-2 profile showed
+the kernel is issue-bound, so the eliminated slice-copies are the point).
 
 Weights for all 5 blocks (~7 MB bf16) + the additive attention terms are
 DMA'd once per pallas_call (constant index_map across the image grid) and
@@ -77,6 +89,37 @@ def rdg_geometry(cfg: DRCTModelConfig) -> Dict[str, Tuple]:
 def _adj_base(g: Dict, k: int) -> int:
     """First lane of the aligned window holding adjust-k's output columns."""
     return 0 if k == 4 else (g["feats"][k] // 128) * 128
+
+
+def _composed_shift_plan(h: int, w: int, win: int,
+                         shift: int) -> Tuple[Tuple[int, int, int], ...]:
+    """Contiguous-run copy plan (dst, src, width) taking token rows from
+    shift-0 window order (src) to shift-``shift`` window order (dst).
+
+    Composes raster->winorder(shift) with winorder(0)->raster; runs fragment
+    at shift-0 window column boundaries, so widths are ``shift`` (w/2 of the
+    window) instead of ``win`` — 2x the entries of a raster-based plan but
+    only on the two shifted blocks instead of all five."""
+    n = win * win
+
+    def perm(s):
+        p = np.empty(h * w, np.int64)
+        for wdx, copies in enumerate(_window_row_slices(h, w, win, s)):
+            for dst, src, width in copies:
+                p[wdx * n + dst:wdx * n + dst + width] = \
+                    np.arange(src, src + width)
+        return p
+
+    p0 = perm(0)                       # p0[pos0] = raster row
+    inv0 = np.empty_like(p0)
+    inv0[p0] = np.arange(h * w)
+    src0 = inv0[perm(shift)]           # src0[pos_shift] = pos0
+    runs, start = [], 0
+    for i in range(1, h * w + 1):
+        if i == h * w or src0[i] != src0[start] + (i - start):
+            runs.append((start, int(src0[start]), i - start))
+            start = i
+    return tuple(runs)
 
 
 def _rdg_group(nw: int, n: int) -> int:
@@ -198,7 +241,7 @@ def prepack_rdg_stack(params: Dict, cfg: DRCTModelConfig, h: int, w: int,
 
 def fused_rdg(x: jnp.ndarray, blocks: List[Dict[str, jnp.ndarray]],
               cfg: DRCTModelConfig, h: int, w: int) -> jnp.ndarray:
-    """x: [B, L, c_p0] tokens -> same shape.
+    """x: [B, L, c_p0] tokens IN SHIFT-0 WINDOW ORDER -> same shape/order.
 
     ``blocks`` holds the 5 per-block operand dicts for ONE RDG (leading layer
     axis already sliced away by lax.scan). When B is even, each Pallas
@@ -225,16 +268,12 @@ def fused_rdg(x: jnp.ndarray, blocks: List[Dict[str, jnp.ndarray]],
         if cand <= max_imgs and b % cand == 0:
             imgs = cand
 
-    plans_by_shift = {}
-    inv_by_shift = {}
-    for s in set(g["shifts"]):
-        plans = _window_row_slices(h, w, win, s)
-        inv = []
-        for wdx, copies in enumerate(plans):
-            inv.append(tuple((src, wdx * n + dst, width)
-                             for dst, src, width in copies))
-        plans_by_shift[s] = tuple(tuple(p) for p in plans)
-        inv_by_shift[s] = tuple(inv)
+    # x arrives in shift-0 window order (glue does the reshape/transpose);
+    # shift-0 blocks need no copies at all, shifted blocks use the composed
+    # shift0-order -> shifted-order permutation plan
+    composed = {s: _composed_shift_plan(h, w, win, s)
+                for s in set(g["shifts"]) if s}
+    shift_plans = tuple(composed[s] if s else None for s in g["shifts"])
 
     operands = []
     for blk in blocks:
@@ -245,8 +284,7 @@ def fused_rdg(x: jnp.ndarray, blocks: List[Dict[str, jnp.ndarray]],
     kernel = functools.partial(
         _rdg_kernel_impl, h=h, w=w, win=win, imgs=imgs,
         cs=g["feats"], cps=g["cps"], nhs=g["heads"], shifts=g["shifts"],
-        c3ps=c3ps, fps=fps, cat_p=cat_p,
-        plans_by_shift=plans_by_shift, inv_plans_by_shift=inv_by_shift)
+        c3ps=c3ps, fps=fps, cat_p=cat_p, shift_plans=shift_plans)
 
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
@@ -260,8 +298,8 @@ def fused_rdg(x: jnp.ndarray, blocks: List[Dict[str, jnp.ndarray]],
         out_shape=jax.ShapeDtypeStruct((b, l, c0p), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((imgs * l, cat_p), x.dtype),        # concat buffer
-            pltpu.VMEM((imgs * l, max(c3ps)), x.dtype),    # qkv / ctx reuse
-            pltpu.VMEM((imgs * l, max(c3ps)), x.dtype),    # window-ordered
+            pltpu.VMEM((imgs * l, max(c3ps)), x.dtype),    # qkv rows
+            pltpu.VMEM((imgs * l, max(g["cps"])), x.dtype),  # shifted input
             pltpu.VMEM((imgs * l, max(g["cps"])), x.dtype),  # attn context
             pltpu.VMEM((imgs * l * max(g["heads"]), group * n),
                        jnp.float32),                       # score tiles
@@ -294,12 +332,14 @@ _LOG2E = 1.4426950408889634
 
 
 def _rdg_kernel_impl(x_ref, *refs, h, w, win, imgs, cs, cps, nhs, shifts,
-                     c3ps, fps, cat_p, plans_by_shift, inv_plans_by_shift):
+                     c3ps, fps, cat_p, shift_plans):
     """Kernel body. refs = 5 x (wqkv, wproj, w1, w2, wadj, badj, bvec, attn)
     + (o_ref, cat_scr, qkv_scr, win_scr, ctx_scr, scores_scr).
 
-    Processes ``imgs`` images with per-block interleaving: run_block(k, 0)
-    then run_block(k, 1) — independent chains the scheduler can overlap."""
+    Tokens (x_ref, cat_scr) live in shift-0 window order throughout; see the
+    module docstring. Processes ``imgs`` images with per-block interleaving:
+    run_block(k, 0) then run_block(k, 1) — independent chains the scheduler
+    can overlap."""
     o_ref, cat_scr, qkv_scr, win_scr, ctx_scr, scores_scr = refs[40:]
     mm = x_ref.dtype
     n = win * win
@@ -317,15 +357,27 @@ def _rdg_kernel_impl(x_ref, *refs, h, w, win, imgs, cs, cps, nhs, shifts,
     def run_block(k, img):
         (wqkv_ref, wproj_ref, w1_ref, w2_ref, wadj_ref, badj_ref,
          bvec_ref, a_ref) = refs[8 * k:8 * k + 8]
-        c, c_p, nh, shift = cs[k], cps[k], nhs[k], shifts[k]
+        c, c_p, nh = cs[k], cps[k], nhs[k]
         c3_p, f_p = c3ps[k], fps[k]
         hd = c // nh
-        plans = plans_by_shift[shift]
-        inv_plans = inv_plans_by_shift[shift]
+        # None for shift-0 blocks (tokens already in their window order);
+        # composed shift0->shifted permutation runs for blocks 1 and 3
+        plan = shift_plans[k]
+        if _PROBE == "nogather":
+            plan = None
         o = img * l                      # row base in the token scratches
         so = img * l * max_nh            # row base in the score scratch
 
-        x = cat_scr[o:o + l, :c_p].astype(jnp.float32)  # lanes >= c are zero
+        if plan is None:
+            x = cat_scr[o:o + l, :c_p].astype(jnp.float32)  # pad lanes zero
+        else:
+            # gather the block INPUT rows into this block's window order —
+            # [L, c_p] instead of the [L, 3c_p] qkv gather of the raster-
+            # resident layout
+            for dst, src, width in plan:
+                win_scr[o + dst:o + dst + width, :c_p] = \
+                    cat_scr[o + src:o + src + width, :c_p]
+            x = win_scr[o:o + l, :c_p].astype(jnp.float32)
 
         def layer_norm(t, c=c):
             # affine folded into the following matmul weights at pack time
@@ -355,13 +407,8 @@ def _rdg_kernel_impl(x_ref, *refs, h, w, win, imgs, cs, cps, nhs, shifts,
         ctx_scr[o:o + l, :c_p] = jnp.zeros_like(ctx_scr[o:o + l, :c_p])
         if _PROBE != "noattn":
             npair = nw // group
-            # phase 0: gather qkv rows into window order (all pairs at once)
-            if _PROBE != "nogather":
-                for wdx in range(nw):
-                    for dst, src, width in plans[wdx]:
-                        win_scr[o + wdx * n + dst:o + wdx * n + dst + width,
-                                :c3_p] = qkv_scr[o + src:o + src + width,
-                                                 :c3_p]
+            # qkv_scr rows are already in this block's window order (window-
+            # order-resident tokens) — no gather phase
             # phase 1: all (pair, head) score matmuls (MXU) with the
             # bias-add + exp folded per tile. The 1/sqrt(hd) scale is
             # pre-folded into wqkv; on the serving (bf16-input) path exp
@@ -373,8 +420,8 @@ def _rdg_kernel_impl(x_ref, *refs, h, w, win, imgs, cs, cps, nhs, shifts,
             for j in range(npair):
                 rows = slice(o + j * gn, o + (j + 1) * gn)
                 for hh in range(nh):
-                    q = win_scr[rows, hh * hd:hh * hd + hd]
-                    kk = win_scr[rows, c + hh * hd:c + hh * hd + hd]
+                    q = qkv_scr[rows, hh * hd:hh * hd + hd]
+                    kk = qkv_scr[rows, c + hh * hd:c + hh * hd + hd]
                     arow = slice((j * nh + hh) * gn, (j * nh + hh + 1) * gn)
                     srow = slice(so + (j * nh + hh) * gn,
                                  so + (j * nh + hh + 1) * gn)
@@ -404,10 +451,12 @@ def _rdg_kernel_impl(x_ref, *refs, h, w, win, imgs, cs, cps, nhs, shifts,
                 p = jnp.exp(s)
                 p = p / jnp.sum(p, axis=-1, keepdims=True)
                 scores_scr[so:so + valid, :] = p.astype(scores_scr.dtype)
-            # phase 3: all context matmuls back-to-back (MXU)
+            # phase 3: all context matmuls back-to-back (MXU). The context
+            # stays in this block's window order — proj/MLP/adjust are all
+            # row-order invariant, so no scatter back to raster order.
             for j in range(npair):
                 for hh in range(nh):
-                    v = win_scr[o + j * gn:o + (j + 1) * gn,
+                    v = qkv_scr[o + j * gn:o + (j + 1) * gn,
                                 2 * c + hh * hd:2 * c + hh * hd + hd]
                     pj = scores_scr[so + (j * nh + hh) * gn:
                                     so + (j * nh + hh + 1) * gn, :].astype(mm)
@@ -416,13 +465,7 @@ def _rdg_kernel_impl(x_ref, *refs, h, w, win, imgs, cs, cps, nhs, shifts,
                         jnp.dot(pj, v, preferred_element_type=jnp.float32) \
                         .astype(ctx_scr.dtype)
 
-            if _PROBE != "nogather":
-                for wdx in range(nw):
-                    for dst, src, width in inv_plans[wdx]:
-                        qkv_scr[o + dst:o + dst + width, :c_p] = \
-                            ctx_scr[o + src:o + src + width, :c_p]
-
-        ctx = qkv_scr[o:o + l, :c_p].astype(mm)
+        ctx = ctx_scr[o:o + l, :c_p].astype(mm)
         x = x + (mm_or_stub(ctx, wproj_ref, c_p) + bproj)
 
         y = layer_norm(x).astype(mm)
@@ -453,8 +496,20 @@ def _rdg_kernel_impl(x_ref, *refs, h, w, win, imgs, cs, cps, nhs, shifts,
         if k < 4:
             adj = jnp.where(adj >= 0, adj, 0.2 * adj)      # leaky_relu(0.2)
             base = cat_p - adj.shape[1]
-            cat_scr[o:o + l, base:] = cat_scr[o:o + l, base:] \
-                + adj.astype(cat_scr.dtype)
+            if plan is None:
+                cat_scr[o:o + l, base:] = cat_scr[o:o + l, base:] \
+                    + adj.astype(cat_scr.dtype)
+            else:
+                # stage the adjust rows back to shift-0 order (the composed
+                # plan inverts run-by-run: dst+i <-> src+i), then ONE
+                # full-sweep add into the concat buffer — bijective copy,
+                # so no zeroing and no per-run read-modify-write
+                aw = adj.shape[1]
+                for dst, src, width in plan:
+                    win_scr[o + src:o + src + width, :aw] = \
+                        adj[dst:dst + width].astype(win_scr.dtype)
+                cat_scr[o:o + l, base:] = cat_scr[o:o + l, base:] \
+                    + win_scr[o:o + l, :aw].astype(cat_scr.dtype)
         else:
             out = 0.2 * adj[:, :c0p] + x_ref[img].astype(jnp.float32)
             o_ref[img] = out.astype(o_ref.dtype)
