@@ -49,10 +49,16 @@ def main(argv=None):
         if args.verify:
             import jax
             from adsr_tpu.models.efficientad import PDN, Autoencoder
-            out_ch = params[sorted(params)[-1]]["bias"].shape[0]
+            # out_channels must come from the OUTPUT layer explicitly: the
+            # autoencoder's last sorted key is 'enc5' (64ch bottleneck), not
+            # the output conv 'dec7'
             if args.model_type == "efficientad-autoencoder":
+                out_ch = params["dec7"]["bias"].shape[0]
                 model = Autoencoder(out_channels=out_ch)
             else:
+                last = max(int(k[len("conv"):]) for k in params
+                           if k.startswith("conv"))
+                out_ch = params[f"conv{last}"]["bias"].shape[0]
                 model = PDN(out_channels=out_ch, size=args.pdn_size)
             template = model.init(jax.random.key(0),
                                   jax.numpy.zeros((1, 256, 256, 3)))["params"]

@@ -38,7 +38,13 @@ def parse_args(argv=None):
     p.add_argument("--imagenet-train-path", type=str, default="none",
                    help="folder of ImageNet(-like) images for the optional "
                         "pretraining penalty; 'none' disables it "
-                        "(reference efficientAD.py:362-364)")
+                        "(reference efficientAD.py:362-364). A deterministic "
+                        "sample of --penalty-max-images files is decoded "
+                        "into a device-resident float32 pool (~0.75 MB per "
+                        "256px image)")
+    p.add_argument("--penalty-max-images", type=int, default=4096,
+                   help="cap on decoded penalty images (<=0 = no cap; the "
+                        "full ImageNet train split would need ~1 TB of RAM)")
     p.add_argument("--output-dir", type=str,
                    default="workspace/experiment/efficientad")
     p.add_argument("--patience", type=int, default=3)
@@ -105,7 +111,9 @@ def main(argv=None):
     penalty_imgs = None
     if pretrain_penalty:
         penalty_imgs = load_penalty_folder(args.imagenet_train_path,
-                                           cfg.image_size)
+                                           cfg.image_size,
+                                           max_images=args.penalty_max_images,
+                                           seed=cfg.seed)
         print(f"pretraining penalty on ({len(penalty_imgs)} images)")
 
     t0 = time.time()

@@ -146,15 +146,22 @@ def fused_drct_apply(packed: Dict, cfg: DRCTModelConfig, x: jnp.ndarray,
         c0p = -(-d // 128) * 128
         t = jnp.pad(t0, ((0, 0), (0, 0), (0, c0p - d)))
         hw, ww = h // win, w // win
-        t = (t.reshape(b, hw, win, ww, win, c0p)
-             .transpose(0, 1, 3, 2, 4, 5).reshape(b, h * w, c0p))
+        # quadrant-major within-window token order (see fused_rdg's
+        # _quadrant_perm): window-major, then the 2x2 quadrants, then raster
+        # within the (win/2)^2 quadrant
+        q = win // 2
+        t = (t.reshape(b, hw, 2, q, ww, 2, q, c0p)
+             .transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(b, h * w, c0p))
+
+        stable = bool(packed.get("softmax_stable", False))
 
         def rdg_body(t, blocks):
-            return fused_rdg(t, blocks, cfg, h, w), None
+            return fused_rdg(t, blocks, cfg, h, w,
+                             force_stable=stable), None
 
         t, _ = lax.scan(rdg_body, t, packed["blocks"])
-        t = (t.reshape(b, hw, ww, win, win, c0p)
-             .transpose(0, 1, 3, 2, 4, 5).reshape(b, h * w, c0p))
+        t = (t.reshape(b, hw, ww, 2, 2, q, q, c0p)
+             .transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(b, h * w, c0p))
         t = t[:, :, :d]
     else:
         def layer(t, xs):

@@ -63,7 +63,7 @@ from jax.experimental import pallas as pl
 from adsr_tpu.core.config import DRCTModelConfig
 from adsr_tpu.models.drct import shift_attn_mask
 from adsr_tpu.ops.fused_swin_block import (_HAS_PLTPU, _INTERPRET, _rup,
-                                           _window_row_slices, build_attn_term,
+                                           build_attn_term,
                                            pack_swin_weights_jnp)
 
 if _HAS_PLTPU:
@@ -91,34 +91,61 @@ def _adj_base(g: Dict, k: int) -> int:
     return 0 if k == 4 else (g["feats"][k] // 128) * 128
 
 
+def _quadrant_perm(win: int) -> np.ndarray:
+    """Within-window token order: quadrant-major. p[pos] = raster index.
+
+    Tokens of each ``win x win`` window are stored as 4 contiguous quadrant
+    blocks of (win/2)^2 rows (raster within the quadrant). The payoff: a
+    half-window cyclic shift maps each shifted-window quadrant EXACTLY onto
+    one source-window quadrant (dst quadrant (qr,qc) of shifted window
+    (wi,wj) == quadrant (1-qr,1-qc) of window (wi+qr,wj+qc), raster order
+    preserved), so the shift0->shifted permutation is nw*4 whole-quadrant
+    contiguous block copies instead of H*W/shift width-``shift`` runs —
+    4x fewer (and 4x larger) copy instructions in an issue-bound kernel."""
+    assert win % 2 == 0, "shifted windows need an even window size"
+    q = win // 2
+    idx = np.arange(win * win).reshape(win, win)
+    return np.concatenate([idx[qr * q:(qr + 1) * q,
+                               qc * q:(qc + 1) * q].reshape(-1)
+                           for qr in (0, 1) for qc in (0, 1)])
+
+
+def _order_perm(h: int, w: int, win: int, shift: int) -> np.ndarray:
+    """p[pos] = raster token row for quadrant-major window-order position
+    over the shift-``shift`` window partition (windows in raster order)."""
+    pq = _quadrant_perm(win)
+    p = np.empty(h * w, np.int64)
+    pos = 0
+    for wi in range(h // win):
+        for wj in range(w // win):
+            for t in pq:
+                r, c = divmod(int(t), win)
+                row = (wi * win + r + shift) % h
+                col = (wj * win + c + shift) % w
+                p[pos] = row * w + col
+                pos += 1
+    return p
+
+
 def _composed_shift_plan(h: int, w: int, win: int,
                          shift: int) -> Tuple[Tuple[int, int, int], ...]:
     """Contiguous-run copy plan (dst, src, width) taking token rows from
-    shift-0 window order (src) to shift-``shift`` window order (dst).
-
-    Composes raster->winorder(shift) with winorder(0)->raster; runs fragment
-    at shift-0 window column boundaries, so widths are ``shift`` (w/2 of the
-    window) instead of ``win`` — 2x the entries of a raster-based plan but
-    only on the two shifted blocks instead of all five."""
-    n = win * win
-
-    def perm(s):
-        p = np.empty(h * w, np.int64)
-        for wdx, copies in enumerate(_window_row_slices(h, w, win, s)):
-            for dst, src, width in copies:
-                p[wdx * n + dst:wdx * n + dst + width] = \
-                    np.arange(src, src + width)
-        return p
-
-    p0 = perm(0)                       # p0[pos0] = raster row
+    shift-0 window order (src) to shift-``shift`` window order (dst), both
+    quadrant-major. By construction (see _quadrant_perm) this is exactly
+    nw*4 runs of (win/2)^2 rows each."""
+    p0 = _order_perm(h, w, win, 0)     # p0[pos0] = raster row
     inv0 = np.empty_like(p0)
     inv0[p0] = np.arange(h * w)
-    src0 = inv0[perm(shift)]           # src0[pos_shift] = pos0
+    src0 = inv0[_order_perm(h, w, win, shift)]   # src0[pos_shift] = pos0
     runs, start = [], 0
     for i in range(1, h * w + 1):
         if i == h * w or src0[i] != src0[start] + (i - start):
             runs.append((start, int(src0[start]), i - start))
             start = i
+    if shift == win // 2:              # the production case: whole quadrants
+        nw = (h // win) * (w // win)
+        assert len(runs) == nw * 4 and \
+            all(wd == (win // 2) ** 2 for _, _, wd in runs), runs
     return tuple(runs)
 
 
@@ -158,14 +185,12 @@ def _pack_rdg_layer(layer_params: Dict, cfg: DRCTModelConfig,
                                    dtype=dtype)
         bias = pk.pop("bias")
         # fold the 1/sqrt(hd) query scale into the q columns of wqkv/bqkv so
-        # the kernel's score matmul needs no extra VPU multiply. On the bf16
-        # serving path the softmax runs as exp2 (the VPU's native pow2 —
-        # saves the x*log2(e) multiply inside every exp lowering), so log2(e)
-        # is pre-folded here and into the additive attention term below:
-        # exp2(log2e*(qk + a)) == exp(qk + a), softmax-invariant.
+        # the kernel's score matmul needs no extra VPU multiply. (On the bf16
+        # serving path the softmax runs as exp2 with log2(e) additionally
+        # folded in — but that fold happens POST-HOC in prepack_rdg_stack,
+        # after the score-bound safety check decided the unstabilised
+        # serving softmax is safe for these weights.)
         scale = (c // nh) ** -0.5
-        if _EXP2 and dtype == jnp.bfloat16:
-            scale = scale * _LOG2E
         pk["wqkv"] = pk["wqkv"].at[:, :c].multiply(scale)
         pk["bqkv"] = pk["bqkv"].at[:, :c].multiply(scale)
         # fold the LayerNorm affine into the following matmul:
@@ -184,7 +209,8 @@ def _pack_rdg_layer(layer_params: Dict, cfg: DRCTModelConfig,
         # phase is ONE bias-add + softmax sweep over all (group, head) tiles
         nw = (h // win) * (w // win)
         attn = build_attn_term(bias, h, w, win, nh, masks[shift],
-                               group=_rdg_group(nw, win * win))
+                               group=_rdg_group(nw, win * win),
+                               perm=_quadrant_perm(win))
         attn = attn.reshape(-1, attn.shape[-1])
         # biases + LN affine as one [8, c3_p] row block
         c3_p = pk["wqkv"].shape[1]
@@ -212,18 +238,64 @@ def _pack_rdg_layer(layer_params: Dict, cfg: DRCTModelConfig,
                     # f32 attention term + f32 score scratch: measured FASTER
                     # than bf16 (1081 vs 1068 img/s) — v5e f32 transcendental
                     # throughput matches bf16, and bf16 adds cast overhead.
-                    # log2(e)-scaled when the serving softmax runs as exp2
-                    # (see the query-scale fold above); -1e30 mask entries
-                    # stay finite in f32 and exp2 to exactly 0.
-                    "attn": attn.astype(jnp.float32)
-                    * (_LOG2E if _EXP2 and dtype == jnp.bfloat16 else 1.0)})
+                    # log2(e)-scaled post-hoc in prepack_rdg_stack when the
+                    # serving softmax runs as exp2; -1e30 mask entries stay
+                    # finite in f32 and exp2 to exactly 0.
+                    "attn": attn.astype(jnp.float32)})
     return out
+
+
+def _score_bound(blocks: List[Dict[str, jnp.ndarray]], cfg: DRCTModelConfig,
+                 iters: int = 24) -> jnp.ndarray:
+    """Upper estimate of the largest attention score the packed weights can
+    produce, in natural-log units (pre-softmax, pre-exp).
+
+    Per (block, layer, head): LayerNorm rows have ||xhat||_2 <= sqrt(c), so
+    |q_i . k_j| <= (sqrt(c)*sigma(Wq_h) + |bq_h|) * (sqrt(c)*sigma(Wk_h)
+    + |bk_h|) with sigma the spectral norm (power iteration; the packed Wq
+    already contains the folded LN affine and 1/sqrt(hd) query scale). The
+    max finite entry of the additive attention term is added on top."""
+    g = rdg_geometry(cfg)
+    bound = jnp.asarray(0.0, jnp.float32)
+    for k, blk in enumerate(blocks):
+        c, nh = g["feats"][k], g["heads"][k]
+        hd = c // nh
+        w = jnp.asarray(blk["wqkv"], jnp.float32)[..., :c, :2 * c]
+        b = jnp.asarray(blk["bvec"], jnp.float32)[..., 0, :2 * c]  # = bqkv
+        # [layers, 2*nh, c, hd]: q heads then k heads
+        wh = w.reshape(w.shape[:-1] + (2 * nh, hd)) \
+            .swapaxes(-2, -3).reshape((-1, c, hd))
+        v = jnp.ones((wh.shape[0], hd, 1), jnp.float32) / (hd ** 0.5)
+        for _ in range(iters):
+            u = wh @ v
+            u = u / (jnp.linalg.norm(u, axis=-2, keepdims=True) + 1e-30)
+            v = jnp.swapaxes(wh, -1, -2) @ u
+            v = v / (jnp.linalg.norm(v, axis=-2, keepdims=True) + 1e-30)
+        sig = jnp.linalg.norm(wh @ v, axis=(-2, -1))        # [layers*2nh]
+        sig = sig.reshape(-1, 2 * nh)
+        bn = jnp.linalg.norm(b.reshape(b.shape[0], 2 * nh, hd), axis=-1)
+        amp = (c ** 0.5) * sig + bn                         # [layers, 2nh]
+        qk = jnp.max(amp[:, :nh] * amp[:, nh:])
+        a = jnp.asarray(blk["attn"], jnp.float32)
+        amax = jnp.max(jnp.where(a > -1e29, a, -jnp.inf))
+        bound = jnp.maximum(bound, qk + jnp.maximum(amax, 0.0))
+    return bound
 
 
 def prepack_rdg_stack(params: Dict, cfg: DRCTModelConfig, h: int, w: int,
                       dtype=jnp.bfloat16) -> Dict:
     """Scan-stacked DRCT tree -> {'blocks': [5 stacked operand dicts],
-    'head': head/tail conv + norm params}. Run ONCE at params-load time."""
+    'head': head/tail conv + norm params, 'softmax_stable': bool}.
+    Run ONCE at params-load time.
+
+    The bf16 serving softmax normally runs UNstabilised (exp2 with log2(e)
+    pre-folded into the packed q columns and attention term). That is only
+    safe while scores stay far from the f32 exp range, which LN-bounded
+    inputs guarantee for ordinary weights — but the LN affine is folded into
+    the packed qkv, so a checkpoint with a pathological LN scale could push
+    scores toward overflow. _score_bound checks this at pack time; past the
+    safety threshold the pack keeps natural-log units and the kernel falls
+    back to the stabilised softmax path ('softmax_stable': True)."""
     assert cfg.scan_layers, "fused forward expects the scan-stacked layout"
     rdg = params["rdgs"]["rdg"]
 
@@ -232,7 +304,31 @@ def prepack_rdg_stack(params: Dict, cfg: DRCTModelConfig, h: int, w: int,
 
     blocks = jax.vmap(pack)(rdg)
     head = {name: params[name] for name in params if name != "rdgs"}
-    return {"blocks": blocks, "head": head}
+
+    stable = False
+    if dtype == jnp.bfloat16:
+        try:
+            # f32 exp/exp2 overflow near arg 88 / 127; stay well clear
+            bound = float(_score_bound(blocks, cfg))
+            stable = bound > 80.0
+            if stable:
+                print(f"fused_rdg: packed-weight score bound {bound:.1f} > "
+                      "80 — serving softmax falls back to the stabilised "
+                      "path (unusually large folded LayerNorm scale?)")
+        except jax.errors.ConcretizationTypeError:
+            stable = False      # traced pack (tests): keep the fast path
+        if not stable and _EXP2:
+            # exp2(log2e*(qk + a)) == exp(qk + a), softmax-invariant: fold
+            # log2(e) into the packed q columns and the additive term so the
+            # kernel's exp runs as the VPU's native pow2
+            g = rdg_geometry(cfg)
+            for k, blk in enumerate(blocks):
+                c = g["feats"][k]
+                blk["wqkv"] = blk["wqkv"].at[..., :c].multiply(_LOG2E)
+                # bvec row 0 holds bqkv (q lanes are its first c columns)
+                blk["bvec"] = blk["bvec"].at[..., 0, :c].multiply(_LOG2E)
+                blk["attn"] = blk["attn"] * _LOG2E
+    return {"blocks": blocks, "head": head, "softmax_stable": stable}
 
 
 # --------------------------------------------------------------------------- #
@@ -240,14 +336,20 @@ def prepack_rdg_stack(params: Dict, cfg: DRCTModelConfig, h: int, w: int,
 # --------------------------------------------------------------------------- #
 
 def fused_rdg(x: jnp.ndarray, blocks: List[Dict[str, jnp.ndarray]],
-              cfg: DRCTModelConfig, h: int, w: int) -> jnp.ndarray:
-    """x: [B, L, c_p0] tokens IN SHIFT-0 WINDOW ORDER -> same shape/order.
+              cfg: DRCTModelConfig, h: int, w: int,
+              force_stable: bool = False) -> jnp.ndarray:
+    """x: [B, L, c_p0] tokens IN SHIFT-0 QUADRANT-MAJOR WINDOW ORDER ->
+    same shape/order.
 
     ``blocks`` holds the 5 per-block operand dicts for ONE RDG (leading layer
-    axis already sliced away by lax.scan). When B is even, each Pallas
-    program processes TWO images with their swin blocks interleaved — the
-    two dependence chains are disjoint, so the scheduler can overlap one
-    image's VPU phases (LN, softmax, gelu) with the other's MXU matmuls.
+    axis already sliced away by lax.scan). Each Pallas program processes
+    ``imgs`` images, ROW-STACKED into ``chains`` independent dependence
+    chains: within a chain the images' token rows are stacked so every
+    row-wise op (LayerNorm, the five big matmuls, gelu, residuals, the
+    concat add) runs ONCE over [imgs/chains*L, C] — fewer, larger ops for an
+    issue-bound kernel — while separate chains interleave per swin block so
+    the scheduler can overlap one chain's VPU phases with another's MXU
+    matmuls.
     """
     if not _HAS_PLTPU:
         raise NotImplementedError
@@ -259,14 +361,19 @@ def fused_rdg(x: jnp.ndarray, blocks: List[Dict[str, jnp.ndarray]],
     cat_p = g["cat_p"]
     c3ps = tuple(blk["wqkv"].shape[1] for blk in blocks)
     fps = tuple(blk["w1"].shape[1] for blk in blocks)
-    # images interleaved per program: 4 is the sweet spot (2: 1146, 4: 1180
-    # img/s); 8 doubles the unrolled code again and Mosaic compile time
-    # explodes past 50 min — not viable
-    max_imgs = int(os.environ.get("ADSR_TPU_RDG_IMGS", "4"))
+    # images per program: with row-stacking the instruction count of the
+    # row-wise ops no longer grows with imgs (only the attention tiles and
+    # shift copies do), so 8 compiles fine (the round-2 per-image-unrolled
+    # form blew past 50 min of Mosaic compile at 8)
+    max_imgs = int(os.environ.get("ADSR_TPU_RDG_IMGS", "8"))
     imgs = 1
     for cand in (2, 4, 8):
         if cand <= max_imgs and b % cand == 0:
             imgs = cand
+    chains = max(1, min(int(os.environ.get("ADSR_TPU_RDG_CHAINS", "2")),
+                        imgs))
+    while imgs % chains:
+        chains -= 1
 
     # x arrives in shift-0 window order (glue does the reshape/transpose);
     # shift-0 blocks need no copies at all, shifted blocks use the composed
@@ -282,9 +389,10 @@ def fused_rdg(x: jnp.ndarray, blocks: List[Dict[str, jnp.ndarray]],
 
     group = _rdg_group(nw, n)
     kernel = functools.partial(
-        _rdg_kernel_impl, h=h, w=w, win=win, imgs=imgs,
+        _rdg_kernel_impl, h=h, w=w, win=win, imgs=imgs, chains=chains,
         cs=g["feats"], cps=g["cps"], nhs=g["heads"], shifts=g["shifts"],
-        c3ps=c3ps, fps=fps, cat_p=cat_p, shift_plans=shift_plans)
+        c3ps=c3ps, fps=fps, cat_p=cat_p, shift_plans=shift_plans,
+        force_stable=force_stable)
 
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
@@ -331,15 +439,17 @@ _EXP2 = os.environ.get("ADSR_TPU_RDG_EXP2", "1") != "0"
 _LOG2E = 1.4426950408889634
 
 
-def _rdg_kernel_impl(x_ref, *refs, h, w, win, imgs, cs, cps, nhs, shifts,
-                     c3ps, fps, cat_p, shift_plans):
+def _rdg_kernel_impl(x_ref, *refs, h, w, win, imgs, chains, cs, cps, nhs,
+                     shifts, c3ps, fps, cat_p, shift_plans,
+                     force_stable=False):
     """Kernel body. refs = 5 x (wqkv, wproj, w1, w2, wadj, badj, bvec, attn)
     + (o_ref, cat_scr, qkv_scr, win_scr, ctx_scr, scores_scr).
 
-    Tokens (x_ref, cat_scr) live in shift-0 window order throughout; see the
-    module docstring. Processes ``imgs`` images with per-block interleaving:
-    run_block(k, 0) then run_block(k, 1) — independent chains the scheduler
-    can overlap."""
+    Tokens (x_ref, cat_scr) live in shift-0 quadrant-major window order
+    throughout; see the module docstring. The ``imgs`` images are row-stacked
+    into ``chains`` independent chains: every row-wise op runs full-width
+    over one chain's [ipc*L] rows, only the per-window attention tiles and
+    the shifted-block quadrant copies iterate per image."""
     o_ref, cat_scr, qkv_scr, win_scr, ctx_scr, scores_scr = refs[40:]
     mm = x_ref.dtype
     n = win * win
@@ -349,12 +459,14 @@ def _rdg_kernel_impl(x_ref, *refs, h, w, win, imgs, cs, cps, nhs, shifts,
     c0p = x_ref.shape[2]
     l = x_ref.shape[1]
     max_nh = max(nhs)
+    ipc = imgs // chains            # images per chain
+    cl = ipc * l                    # token rows per chain
 
     cat_scr[:, :] = jnp.zeros_like(cat_scr)
     for img in range(imgs):
         cat_scr[img * l:(img + 1) * l, :c0p] = x_ref[img]
 
-    def run_block(k, img):
+    def run_block(k, ch):
         (wqkv_ref, wproj_ref, w1_ref, w2_ref, wadj_ref, badj_ref,
          bvec_ref, a_ref) = refs[8 * k:8 * k + 8]
         c, c_p, nh = cs[k], cps[k], nhs[k]
@@ -365,19 +477,22 @@ def _rdg_kernel_impl(x_ref, *refs, h, w, win, imgs, cs, cps, nhs, shifts,
         plan = shift_plans[k]
         if _PROBE == "nogather":
             plan = None
-        o = img * l                      # row base in the token scratches
-        so = img * l * max_nh            # row base in the score scratch
+        o = ch * cl                      # row base in the token scratches
+        so = ch * cl * max_nh            # row base in the score scratch
 
         if plan is None:
-            x = cat_scr[o:o + l, :c_p].astype(jnp.float32)  # pad lanes zero
+            x = cat_scr[o:o + cl, :c_p].astype(jnp.float32)  # pad lanes zero
         else:
-            # gather the block INPUT rows into this block's window order —
-            # [L, c_p] instead of the [L, 3c_p] qkv gather of the raster-
-            # resident layout
-            for dst, src, width in plan:
-                win_scr[o + dst:o + dst + width, :c_p] = \
-                    cat_scr[o + src:o + src + width, :c_p]
-            x = win_scr[o:o + l, :c_p].astype(jnp.float32)
+            # gather the block INPUT rows into this block's window order:
+            # whole-quadrant contiguous block copies (nw*4 per image, see
+            # _quadrant_perm) — [L, c_p] instead of the [L, 3c_p] qkv gather
+            # of the raster-resident layout
+            for img in range(ipc):
+                ib = o + img * l
+                for dst, src, width in plan:
+                    win_scr[ib + dst:ib + dst + width, :c_p] = \
+                        cat_scr[ib + src:ib + src + width, :c_p]
+            x = win_scr[o:o + cl, :c_p].astype(jnp.float32)
 
         def layer_norm(t, c=c):
             # affine folded into the following matmul weights at pack time
@@ -401,12 +516,13 @@ def _rdg_kernel_impl(x_ref, *refs, h, w, win, imgs, cs, cps, nhs, shifts,
             return jnp.dot(a, w_ref[...], preferred_element_type=jnp.float32)
 
         y = layer_norm(x).astype(mm)
-        qkv_scr[o:o + l, :c3_p] = (mm_or_stub(y, wqkv_ref, c3_p)
-                                   + bqkv).astype(qkv_scr.dtype)
+        qkv_scr[o:o + cl, :c3_p] = (mm_or_stub(y, wqkv_ref, c3_p)
+                                    + bqkv).astype(qkv_scr.dtype)
 
-        ctx_scr[o:o + l, :c_p] = jnp.zeros_like(ctx_scr[o:o + l, :c_p])
+        ctx_scr[o:o + cl, :c_p] = jnp.zeros_like(ctx_scr[o:o + cl, :c_p])
         if _PROBE != "noattn":
-            npair = nw // group
+            npair_img = nw // group       # window pairs per image
+            npair = npair_img * ipc       # ... per chain (rows contiguous)
             # qkv_scr rows are already in this block's window order (window-
             # order-resident tokens) — no gather phase
             # phase 1: all (pair, head) score matmuls (MXU) with the
@@ -416,13 +532,14 @@ def _rdg_kernel_impl(x_ref, *refs, h, w, win, imgs, cs, cps, nhs, shifts,
             # (|s| << 80, exp overflows f32 only past ~88) and the -1e30
             # mask rows still exp to exactly 0. The f32 path keeps the
             # stabilised form in phase 2.
-            stable = mm != jnp.bfloat16
+            stable = (mm != jnp.bfloat16) or force_stable
             for j in range(npair):
                 rows = slice(o + j * gn, o + (j + 1) * gn)
+                ja = j % npair_img        # additive term repeats per image
                 for hh in range(nh):
                     q = qkv_scr[rows, hh * hd:hh * hd + hd]
                     kk = qkv_scr[rows, c + hh * hd:c + hh * hd + hd]
-                    arow = slice((j * nh + hh) * gn, (j * nh + hh + 1) * gn)
+                    arow = slice((ja * nh + hh) * gn, (ja * nh + hh + 1) * gn)
                     srow = slice(so + (j * nh + hh) * gn,
                                  so + (j * nh + hh + 1) * gn)
                     # kk.T lowers to the MXU's native transposed-operand
@@ -465,7 +582,7 @@ def _rdg_kernel_impl(x_ref, *refs, h, w, win, imgs, cs, cps, nhs, shifts,
                         jnp.dot(pj, v, preferred_element_type=jnp.float32) \
                         .astype(ctx_scr.dtype)
 
-        ctx = ctx_scr[o:o + l, :c_p].astype(mm)
+        ctx = ctx_scr[o:o + cl, :c_p].astype(mm)
         x = x + (mm_or_stub(ctx, wproj_ref, c_p) + bproj)
 
         y = layer_norm(x).astype(mm)
@@ -497,7 +614,7 @@ def _rdg_kernel_impl(x_ref, *refs, h, w, win, imgs, cs, cps, nhs, shifts,
             adj = jnp.where(adj >= 0, adj, 0.2 * adj)      # leaky_relu(0.2)
             base = cat_p - adj.shape[1]
             if plan is None:
-                cat_scr[o:o + l, base:] = cat_scr[o:o + l, base:] \
+                cat_scr[o:o + cl, base:] = cat_scr[o:o + cl, base:] \
                     + adj.astype(cat_scr.dtype)
             else:
                 # stage the adjust rows back to shift-0 order (the composed
@@ -505,15 +622,22 @@ def _rdg_kernel_impl(x_ref, *refs, h, w, win, imgs, cs, cps, nhs, shifts,
                 # full-sweep add into the concat buffer — bijective copy,
                 # so no zeroing and no per-run read-modify-write
                 aw = adj.shape[1]
-                for dst, src, width in plan:
-                    win_scr[o + src:o + src + width, :aw] = \
-                        adj[dst:dst + width].astype(win_scr.dtype)
-                cat_scr[o:o + l, base:] = cat_scr[o:o + l, base:] \
-                    + win_scr[o:o + l, :aw].astype(cat_scr.dtype)
+                for img in range(ipc):
+                    ib = o + img * l
+                    for dst, src, width in plan:
+                        win_scr[ib + src:ib + src + width, :aw] = \
+                            adj[img * l + dst:img * l + dst + width] \
+                            .astype(win_scr.dtype)
+                cat_scr[o:o + cl, base:] = cat_scr[o:o + cl, base:] \
+                    + win_scr[o:o + cl, :aw].astype(cat_scr.dtype)
         else:
-            out = 0.2 * adj[:, :c0p] + x_ref[img].astype(jnp.float32)
-            o_ref[img] = out.astype(o_ref.dtype)
+            out = 0.2 * adj[:, :c0p]
+            for img in range(ipc):
+                gi = ch * ipc + img
+                o_ref[gi] = (out[img * l:(img + 1) * l]
+                             + x_ref[gi].astype(jnp.float32)) \
+                    .astype(o_ref.dtype)
 
     for k in range(5):
-        for img in range(imgs):
-            run_block(k, img)
+        for ch in range(chains):
+            run_block(k, ch)

@@ -157,16 +157,25 @@ def _attn_group(nw: int, n: int) -> int:
 def build_attn_term(bias: jnp.ndarray, h: int, w: int, window: int,
                     num_heads: int,
                     mask: Optional[np.ndarray] = None,
-                    group: Optional[int] = None) -> jnp.ndarray:
+                    group: Optional[int] = None,
+                    perm: Optional[np.ndarray] = None) -> jnp.ndarray:
     """Additive attention term per (window-group, head), block-diagonal when
     the kernel batches ``group`` windows per score tile. Pure function of the
     (learned) relative position bias [H, N, N] and the static shift mask —
-    build it ONCE at params-load time (prepack) instead of per forward."""
+    build it ONCE at params-load time (prepack) instead of per forward.
+
+    ``perm`` (optional, [N]): within-window token permutation applied to both
+    score axes, for kernels whose resident token order inside a window is not
+    raster (fused_rdg keeps tokens quadrant-major so the shifted-window
+    gather is nw*4 whole-quadrant block copies)."""
     n = window * window
     nw = (h // window) * (w // window)
     a = jnp.broadcast_to(jnp.asarray(bias)[None], (nw, num_heads, n, n))
     if mask is not None:
         a = a + jnp.asarray(mask)[:, None]
+    if perm is not None:
+        p = jnp.asarray(perm)
+        a = a[:, :, p][:, :, :, p]
     if group is None:
         group = _attn_group(nw, n)
     if group > 1:

@@ -125,16 +125,30 @@ def random_grayscale(x: jnp.ndarray, key: jax.Array,
     return jnp.where(pick, jnp.broadcast_to(gray, x.shape), x)
 
 
-def load_penalty_folder(root: str, image_size: int) -> "np.ndarray":
+def load_penalty_folder(root: str, image_size: int,
+                        max_images: int = 4096,
+                        seed: int = 0) -> "np.ndarray":
     """Load ImageNet-penalty images: Resize(2s) + CenterCrop(s)
     (efficientAD.py:402-410); the per-draw RandomGrayscale(0.3) runs inside
-    the train step via :func:`random_grayscale`."""
+    the train step via :func:`random_grayscale`.
+
+    The decoded pool is device-resident float32 (~s*s*12 bytes per image —
+    0.75 MB at 256px), so pointing this at a full ImageNet train split would
+    exhaust host RAM; instead a deterministic sample of ``max_images`` files
+    (seeded shuffle of the sorted list) is decoded. The reference streams
+    one penalty image per step via a DataLoader (efficientAD.py:455-458), so
+    a few thousand distinct images reproduce the penalty statistics;
+    ``max_images<=0`` disables the cap."""
     from PIL import Image
     rootp = Path(root)
     files = sorted(p for p in rootp.rglob("*") if p.suffix.lower()
                    in (".png", ".jpg", ".jpeg", ".bmp"))
     if not files:
         raise FileNotFoundError(f"no penalty images under {root}")
+    if max_images and max_images > 0 and len(files) > max_images:
+        files = list(np.random.RandomState(seed)
+                     .permutation(np.asarray(files, dtype=object))
+                     [:max_images])
     s = image_size
     imgs = []
     for f in files:

@@ -250,6 +250,13 @@ def make_tiled_serving_forward(exp: Experiment, params, tile: int = 0,
     if tile <= 0:
         tile = exp.model.img_size if isinstance(exp.model, DRCTModelConfig) \
             else 32
+    if isinstance(exp.model, DRCTModelConfig):
+        win = exp.model.window_size
+        if tile < win or tile % win != 0:
+            raise ValueError(
+                f"--tile must be a multiple of the model's window_size "
+                f"({win}) and >= it; got tile={tile}. A non-divisible tile "
+                f"would build truncated window plans/masks.")
 
     use_fused = (
         isinstance(exp.model, DRCTModelConfig)
