@@ -133,13 +133,20 @@ def evaluate_anomaly(exp: Experiment, params, data_root: str,
 
     from adsr_tpu.core.config import DRCTModelConfig
     lr_size = max(ds_good.lrs[0].shape[1], ds_good.lrs[0].shape[2])
-    auto_tile = (isinstance(exp.model, DRCTModelConfig)
-                 and lr_size > exp.model.img_size)
+    # auto-tile whenever the test LR exceeds the compiled train-shape tile:
+    # DRCT's token geometry is img_size; DRN is a local CNN, so its tile is
+    # the train-crop LR size (patch_size/scale) — both serve big images
+    # through the already-compiled tile graph instead of a full-size
+    # recompile (the reference recompiles masks + clamps windows instead,
+    # src/drct.py:426-429)
+    train_tile = exp.model.img_size if isinstance(exp.model, DRCTModelConfig) \
+        else max(1, exp.data.patch_size // scale)
+    auto_tile = lr_size > train_tile
     if tile > 0 or auto_tile:
         from adsr_tpu.train.trainer import make_tiled_serving_forward
-        forward = make_tiled_serving_forward(exp, params, tile,
+        forward = make_tiled_serving_forward(exp, params, tile or train_tile,
                                              overlap=tile_overlap)
-        log(f"Tiled serving: tile={tile or exp.model.img_size} "
+        log(f"Tiled serving: tile={tile or train_tile} "
             f"overlap={tile_overlap} for {lr_size}px LR input")
     else:
         forward = make_serving_forward(exp, params)

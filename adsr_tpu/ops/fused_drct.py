@@ -153,7 +153,8 @@ def fused_drct_apply(packed: Dict, cfg: DRCTModelConfig, x: jnp.ndarray,
         t = (t.reshape(b, hw, 2, q, ww, 2, q, c0p)
              .transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(b, h * w, c0p))
 
-        stable = bool(packed.get("softmax_stable", False))
+        # static key-presence flag (see prepack_rdg_stack) — trace-safe
+        stable = "softmax_stable" in packed
 
         def rdg_body(t, blocks):
             return fused_rdg(t, blocks, cfg, h, w,

@@ -155,11 +155,14 @@ def _rdg_group(nw: int, n: int) -> int:
     softmax. Measured on v5e (batch 128, 4-img interleave): group 2 -> 1180
     img/s, group 4 -> 1134 — the doubled exp/softmax elements and score-
     scratch traffic of [4N,4N] tiles outweigh the halved op count, so pairs
-    stay the default (ADSR_TPU_RDG_GROUP overrides)."""
+    stay the default (ADSR_TPU_RDG_GROUP overrides). Score tiles are capped
+    at gn=256 rows: window 16 (N=256, the 256px-eval geometry) runs
+    group 1 — a [512, 512] grouped tile would push the f32 score scratch
+    and additive terms past VMEM."""
     cap = int(os.environ.get("ADSR_TPU_RDG_GROUP", "2"))
     group = 1
     for cand in (2, 4, 8):
-        if cand <= cap and nw % cand == 0 and cand * n <= 512:
+        if cand <= cap and nw % cand == 0 and cand * n <= 256:
             group = cand
     return group
 
@@ -206,11 +209,19 @@ def _pack_rdg_layer(layer_params: Dict, cfg: DRCTModelConfig,
             pk[bname] = pk[bname] + bl[None, :] @ w32[:c]
             pk[wname] = (w32.at[:c].multiply(s[:, None])).astype(dtype)
         # additive term flattened to [P*nh*gn, gn] so the kernel's softmax
-        # phase is ONE bias-add + softmax sweep over all (group, head) tiles
+        # phase is ONE bias-add + softmax sweep over all (group, head) tiles.
+        # shift-0 blocks have NO mask, so every window shares one term —
+        # build it for a single group ([nh*gn, gn]) and let the kernel index
+        # by head only (at window 16 the per-window broadcast would cost
+        # ~1.6 MB x nw of VMEM per block for identical data)
         nw = (h // win) * (w // win)
-        attn = build_attn_term(bias, h, w, win, nh, masks[shift],
-                               group=_rdg_group(nw, win * win),
-                               perm=_quadrant_perm(win))
+        group = _rdg_group(nw, win * win)
+        if shift == 0:
+            attn = build_attn_term(bias, win, win * group, win, nh, None,
+                                   group=group, perm=_quadrant_perm(win))
+        else:
+            attn = build_attn_term(bias, h, w, win, nh, masks[shift],
+                                   group=group, perm=_quadrant_perm(win))
         attn = attn.reshape(-1, attn.shape[-1])
         # biases + LN affine as one [8, c3_p] row block
         c3_p = pk["wqkv"].shape[1]
@@ -299,36 +310,61 @@ def prepack_rdg_stack(params: Dict, cfg: DRCTModelConfig, h: int, w: int,
     assert cfg.scan_layers, "fused forward expects the scan-stacked layout"
     rdg = params["rdgs"]["rdg"]
 
-    def pack(layer):
-        return _pack_rdg_layer(layer, cfg, h, w, dtype)
+    def _build(rdg_tree):
+        blocks = [dict(b) for b in jax.vmap(
+            lambda layer: _pack_rdg_layer(layer, cfg, h, w, dtype))(rdg_tree)]
+        bound = (_score_bound(blocks, cfg) if dtype == jnp.bfloat16
+                 else jnp.asarray(0.0, jnp.float32))
+        return blocks, bound
 
-    blocks = jax.vmap(pack)(rdg)
+    def _fold(blocks):
+        # exp2(log2e*(qk + a)) == exp(qk + a), softmax-invariant: fold
+        # log2(e) into the packed q columns and the additive term so the
+        # kernel's exp runs as the VPU's native pow2
+        g = rdg_geometry(cfg)
+        out = []
+        for k, blk in enumerate(blocks):
+            c = g["feats"][k]
+            blk = dict(blk)
+            blk["wqkv"] = blk["wqkv"].at[..., :c].multiply(_LOG2E)
+            # bvec row 0 holds bqkv (q lanes are its first c columns)
+            blk["bvec"] = blk["bvec"].at[..., 0, :c].multiply(_LOG2E)
+            blk["attn"] = blk["attn"] * _LOG2E
+            out.append(blk)
+        return out
+
+    # jit the packing when the params are concrete: the eager form is
+    # hundreds of tiny dispatches, ~minutes through the TPU tunnel
+    traced = any(isinstance(leaf, jax.core.Tracer)
+                 for leaf in jax.tree_util.tree_leaves(rdg))
+    if traced:
+        blocks, bound = _build(rdg)
+    else:
+        blocks, bound = jax.jit(_build)(rdg)
+
     head = {name: params[name] for name in params if name != "rdgs"}
 
+    # NOTE: the stable/fast decision is encoded as pytree STRUCTURE (key
+    # presence), not a bool leaf — a leaf would turn into a tracer when the
+    # packed tree is passed through jit, and the kernel needs it statically
     stable = False
     if dtype == jnp.bfloat16:
         try:
             # f32 exp/exp2 overflow near arg 88 / 127; stay well clear
-            bound = float(_score_bound(blocks, cfg))
-            stable = bound > 80.0
+            stable = bool(float(bound) > 80.0)
             if stable:
-                print(f"fused_rdg: packed-weight score bound {bound:.1f} > "
-                      "80 — serving softmax falls back to the stabilised "
-                      "path (unusually large folded LayerNorm scale?)")
+                print(f"fused_rdg: packed-weight score bound "
+                      f"{float(bound):.1f} > 80 — serving softmax falls "
+                      "back to the stabilised path (unusually large folded "
+                      "LayerNorm scale?)")
         except jax.errors.ConcretizationTypeError:
             stable = False      # traced pack (tests): keep the fast path
         if not stable and _EXP2:
-            # exp2(log2e*(qk + a)) == exp(qk + a), softmax-invariant: fold
-            # log2(e) into the packed q columns and the additive term so the
-            # kernel's exp runs as the VPU's native pow2
-            g = rdg_geometry(cfg)
-            for k, blk in enumerate(blocks):
-                c = g["feats"][k]
-                blk["wqkv"] = blk["wqkv"].at[..., :c].multiply(_LOG2E)
-                # bvec row 0 holds bqkv (q lanes are its first c columns)
-                blk["bvec"] = blk["bvec"].at[..., 0, :c].multiply(_LOG2E)
-                blk["attn"] = blk["attn"] * _LOG2E
-    return {"blocks": blocks, "head": head, "softmax_stable": stable}
+            blocks = _fold(blocks) if traced else jax.jit(_fold)(blocks)
+    out = {"blocks": blocks, "head": head}
+    if stable:
+        out["softmax_stable"] = ()
+    return out
 
 
 # --------------------------------------------------------------------------- #
@@ -365,11 +401,15 @@ def fused_rdg(x: jnp.ndarray, blocks: List[Dict[str, jnp.ndarray]],
     # row-wise ops no longer grows with imgs (only the attention tiles and
     # shift copies do), so 8 compiles fine (the round-2 per-image-unrolled
     # form blew past 50 min of Mosaic compile at 8)
-    max_imgs = int(os.environ.get("ADSR_TPU_RDG_IMGS", "8"))
+    max_imgs = int(os.environ.get("ADSR_TPU_RDG_IMGS", "4"))
     imgs = 1
     for cand in (2, 4, 8):
         if cand <= max_imgs and b % cand == 0:
             imgs = cand
+    # VMEM cap: the token scratches scale with imgs*l — at window 16 / 256px
+    # (l = 4096) one image per program already fills the budget
+    while imgs > 1 and imgs * l > 4096:
+        imgs //= 2
     chains = max(1, min(int(os.environ.get("ADSR_TPU_RDG_CHAINS", "2")),
                         imgs))
     while imgs % chains:
@@ -535,7 +575,9 @@ def _rdg_kernel_impl(x_ref, *refs, h, w, win, imgs, chains, cs, cps, nhs,
             stable = (mm != jnp.bfloat16) or force_stable
             for j in range(npair):
                 rows = slice(o + j * gn, o + (j + 1) * gn)
-                ja = j % npair_img        # additive term repeats per image
+                # additive term: repeats per image; shift-0 blocks share ONE
+                # deduplicated term across all windows (no mask)
+                ja = 0 if shifts[k] == 0 else (j % npair_img)
                 for hh in range(nh):
                     q = qkv_scr[rows, hh * hd:hh * hd + hd]
                     kk = qkv_scr[rows, c + hh * hd:c + hh * hd + hd]

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-from adsr_tpu.core.config import DRNModelConfig, Experiment
+from adsr_tpu.core.config import DRCTModelConfig, DRNModelConfig, Experiment
 from adsr_tpu.core import prng
 from adsr_tpu.data.pipeline import EpochSampler, SRDataset
 from adsr_tpu.metrics import psnr_shave4, quantize, ssim_shave4
@@ -84,6 +84,8 @@ def make_train_step(exp: Experiment) -> TrainStepBundle:
     Step signature: (state, lrs, hr, lr_rate, rng) -> (state, metrics_dict).
     `lrs` is the LR pyramid, descending scale (lrs[0] = model input).
     """
+    import os
+
     model = make_model(exp.model, exp.precision)
     is_dual = isinstance(exp.model, DRNModelConfig)
     duals = make_dual_models(exp.model) if is_dual else None
@@ -93,9 +95,28 @@ def make_train_step(exp: Experiment) -> TrainStepBundle:
                                exp.optim.epsilon, exp.optim.weight_decay)
     dual_weight = exp.optim.dual_weight
 
+    # fused DRCT training path: forward AND custom-VJP backward as whole-RDG
+    # Pallas programs (ops/fused_rdg_train.py) — opt-in while hardware
+    # validation is fresh (ADSR_TPU_FUSED_TRAIN=1); CPU/tests use XLA
+    use_fused_train = (
+        isinstance(exp.model, DRCTModelConfig)
+        and getattr(exp.model, "scan_layers", False)
+        and os.environ.get("ADSR_TPU_FUSED_TRAIN", "0") == "1"
+        and jax.default_backend() not in ("cpu",)
+    )
+
+    def primal_forward(params, lr0, rng):
+        if use_fused_train:
+            from adsr_tpu.models.factory import compute_dtype
+            from adsr_tpu.ops.fused_rdg_train import fused_drct_train_forward
+            return fused_drct_train_forward(
+                params, exp.model, lr0, rng=rng, deterministic=False,
+                dtype=compute_dtype(exp.precision))
+        return model.apply({"params": params}, lr0,
+                           deterministic=False, rngs={"dropout": rng})
+
     def loss_of(params, lrs, hr, rng):
-        sr = model.apply({"params": params["primal"]}, lrs[0],
-                         deterministic=False, rngs={"dropout": rng})
+        sr = primal_forward(params["primal"], lrs[0], rng)
         if is_dual:
             sr_list = sr
             n_d = len(duals)

@@ -5,6 +5,7 @@ import os
 os.environ["ADSR_TPU_PALLAS_INTERPRET"] = "1"
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -38,8 +39,26 @@ def test_rdg_matches_flax_model():
 def test_rdg_matches_flax_model_heads_fixup():
     # embed 18, gc 6 -> dims 18/24/30/36/42 exercising the head fix-up
     # arithmetic (src/drct.py:337-367) and shifted-window masks
-    _check(DRCTModelConfig(upscale=2, img_size=16, window_size=4, in_chans=1,
+    # (img 8, not 16: interpret-mode cost scales with token count and this
+    # case only needs the irregular head dims)
+    _check(DRCTModelConfig(upscale=2, img_size=8, window_size=4, in_chans=1,
                            embed_dim=18, num_layers=1, num_heads=3, gc=6,
+                           scan_layers=True))
+
+
+def test_rdg_window8_parity():
+    # window 8 (the 128px flagship geometry: quadrant runs of 16 rows)
+    _check(DRCTModelConfig(upscale=2, img_size=16, window_size=8, in_chans=1,
+                           embed_dim=12, num_layers=1, num_heads=2, gc=4,
+                           scan_layers=True))
+
+
+@pytest.mark.slow
+def test_rdg_window16_parity():
+    # window 16 / N=256 score tiles — the 256px-eval geometry
+    # (reference src/main.py:286 makes window_size=16 at 256px)
+    _check(DRCTModelConfig(upscale=2, img_size=16, window_size=16, in_chans=1,
+                           embed_dim=12, num_layers=1, num_heads=2, gc=4,
                            scan_layers=True))
 
 
@@ -63,7 +82,7 @@ def test_rdg_bf16_serving_path_parity():
     want = np.asarray(model.apply({"params": params}, x))
     packed = prepack_drct(params, cfg, cfg.img_size, cfg.img_size,
                           dtype=jnp.bfloat16, mode="rdg")
-    assert packed["softmax_stable"] is False  # fast path taken
+    assert "softmax_stable" not in packed  # fast path taken
     got = np.asarray(fused_drct_apply(packed, cfg, x, dtype=jnp.bfloat16))
     err = np.abs(got - want)
     assert err.max() < 5.0 and err.mean() < 1.0, (err.max(), err.mean())
@@ -82,6 +101,6 @@ def test_rdg_exp2_guard_falls_back_on_pathological_ln_scale():
     swin["norm1"]["scale"] = swin["norm1"]["scale"] * 1e4
     packed = prepack_drct(bad, cfg, cfg.img_size, cfg.img_size,
                           dtype=jnp.bfloat16, mode="rdg")
-    assert packed["softmax_stable"] is True
+    assert "softmax_stable" in packed
     got = np.asarray(fused_drct_apply(packed, cfg, x, dtype=jnp.bfloat16))
     assert np.isfinite(got).all()

@@ -1,0 +1,109 @@
+"""Fused training forward + custom-VJP backward parity vs the flax model
+(interpret mode, f32)."""
+
+import os
+
+os.environ["ADSR_TPU_PALLAS_INTERPRET"] = "1"
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from adsr_tpu.core.config import DRCTModelConfig
+from adsr_tpu.models.drct import DRCT
+from adsr_tpu.ops.fused_rdg_train import (drop_path_mults,
+                                          fused_drct_train_forward)
+
+
+def _setup(cfg, seed=0, batch=2):
+    model = DRCT(cfg)
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.rand(batch, cfg.img_size, cfg.img_size, cfg.in_chans)
+                    * 255, jnp.float32)
+    params = model.init(jax.random.key(0), x)["params"]
+    return model, params, x
+
+
+CFG = DRCTModelConfig(upscale=2, img_size=8, window_size=4, in_chans=1,
+                      embed_dim=12, num_layers=2, num_heads=2, gc=4,
+                      scan_layers=True)
+
+
+def test_train_forward_matches_flax():
+    model, params, x = _setup(CFG)
+    want = np.asarray(model.apply({"params": params}, x))
+    got = np.asarray(fused_drct_train_forward(params, CFG, x,
+                                              deterministic=True,
+                                              dtype=jnp.float32))
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)
+
+
+def test_train_grads_match_flax():
+    # end-to-end gradient parity: custom-VJP backward kernel + autodiff
+    # through the (differentiable) weight packing vs plain flax autodiff.
+    # num_layers=1 (interpret-mode cost); batch 2 keeps the cross-program
+    # dW accumulation under test — the scan handles per-layer grads
+    cfg1 = DRCTModelConfig(upscale=2, img_size=8, window_size=4, in_chans=1,
+                           embed_dim=12, num_layers=1, num_heads=2, gc=4,
+                           scan_layers=True)
+    model, params, x = _setup(cfg1)
+    hr = jnp.asarray(np.random.RandomState(1).rand(*(
+        x.shape[0], x.shape[1] * cfg1.upscale, x.shape[2] * cfg1.upscale,
+        x.shape[3])) * 255, jnp.float32)
+
+    def loss_flax(p):
+        sr = model.apply({"params": p}, x)
+        return jnp.mean(jnp.abs(sr - hr))
+
+    def loss_fused(p):
+        sr = fused_drct_train_forward(p, cfg1, x, deterministic=True,
+                                      dtype=jnp.float32)
+        return jnp.mean(jnp.abs(sr - hr))
+
+    lw, gw = jax.value_and_grad(loss_flax)(params)
+    lf, gf = jax.value_and_grad(loss_fused)(params)
+    np.testing.assert_allclose(float(lf), float(lw), rtol=1e-4)
+
+    flat_w = jax.tree_util.tree_leaves_with_path(gw)
+    flat_f = dict(jax.tree_util.tree_leaves_with_path(gf))
+    assert len(flat_w) == len(flat_f)
+    for path, leaf_w in flat_w:
+        leaf_f = flat_f[path]
+        a, b = np.asarray(leaf_w), np.asarray(leaf_f)
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(
+            b, a, atol=2e-3 * scale, rtol=2e-2,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_drop_path_mults_schedule():
+    mults = drop_path_mults(jax.random.key(0), CFG, 4, deterministic=True)
+    assert mults.shape == (2, 4, 10)
+    np.testing.assert_allclose(np.asarray(mults), 1.0)
+    # stochastic: layer 0 has rate 0 -> all ones; later layers 0 or 1/keep
+    m = np.asarray(drop_path_mults(jax.random.key(1), CFG, 64,
+                                   deterministic=False))
+    np.testing.assert_allclose(m[0], 1.0)
+    total = 6 * CFG.num_layers
+    keep = 1.0 - 0.1 * 6 / (total - 1)
+    for v in np.unique(m[1]):
+        assert np.isclose(v, 0.0) or np.isclose(v, 1.0 / keep, rtol=1e-5), v
+
+
+def test_train_forward_droppath_zero_branch():
+    # a zero multiplier on every branch of every block must reduce each RDG
+    # to out = 0.2*adj(swin-less chain)...; cheap sanity: masks of ones ==
+    # deterministic forward
+    model, params, x = _setup(CFG)
+    got_det = np.asarray(fused_drct_train_forward(params, CFG, x,
+                                                  deterministic=True,
+                                                  dtype=jnp.float32))
+    got_rng = np.asarray(fused_drct_train_forward(
+        params, CFG, x, rng=jax.random.key(5), deterministic=False,
+        dtype=jnp.float32))
+    # layer-0 rate is 0 and layer-1 rate tiny (0.05...): outputs must be
+    # finite and close to deterministic in distribution, not identical
+    assert np.isfinite(got_rng).all()
+    assert got_det.shape == got_rng.shape

@@ -97,6 +97,7 @@ class TestCheckpointRoundtrip:
 
 
 class TestLayoutAdaptiveLoading:
+    @pytest.mark.slow
     def test_unrolled_to_scan_and_back(self, tmp_path):
         import dataclasses
         from adsr_tpu.models.drct import DRCT

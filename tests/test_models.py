@@ -159,6 +159,7 @@ class TestDRCTScanLayers:
         np.testing.assert_allclose(np.asarray(o_loop), np.asarray(o_scan),
                                    atol=1e-4)
 
+    @pytest.mark.slow
     def test_remat_policy_dots_same_grads(self):
         """remat_policy='dots' (save matmul outputs, recompute elementwise)
         computes the same value and gradients as full remat."""

@@ -68,7 +68,8 @@ class TestShardingRules:
 
 
 class TestParallelStep:
-    @pytest.mark.parametrize("dp,tp", [(8, 1), (4, 2)])
+    @pytest.mark.parametrize(
+        "dp,tp", [pytest.param(8, 1, marks=pytest.mark.slow), (4, 2)])
     def test_drct_dp_tp_step(self, dp, tp):
         exp = tiny_exp(drct_model(), (2,), MeshConfig(dp=dp, tp=tp))
         tr = ParallelTrainer(exp, make_mesh(exp.mesh))
@@ -78,6 +79,7 @@ class TestParallelStep:
         metrics = tr.step(lrs, hr, 1e-3, jax.random.key(1))
         assert np.isfinite(float(metrics["total"]))
 
+    @pytest.mark.slow
     def test_drct_dcn_dp_step(self):
         """Full train step over the 3-axis (dcn, dp, tp) multi-host layout;
         numerics must match the flat 8-way dp run (same batch, same seed)."""

@@ -82,3 +82,39 @@ class TestDRCTTiled:
         sr = np.asarray(fwd(lr))
         assert sr.shape == (2, 32, 32, 1)
         assert np.all(np.isfinite(sr))
+
+    def test_tile_not_divisible_by_window_rejected(self):
+        from adsr_tpu.core.config import (DataConfig, DRCTModelConfig,
+                                          Experiment)
+        from adsr_tpu.train.trainer import make_tiled_serving_forward
+
+        cfg = DRCTModelConfig(upscale=2, img_size=8, window_size=4,
+                              in_chans=1, embed_dim=12, num_layers=1,
+                              num_heads=2, gc=4, scan_layers=True)
+        exp = Experiment(model=cfg,
+                         data=DataConfig(scale=(2,), n_colors=1,
+                                         rgb_range=255.0))
+        with pytest.raises(ValueError, match="window_size"):
+            make_tiled_serving_forward(exp, {}, tile=10, overlap=4)
+
+
+class TestDRNTiled:
+    def test_big_input_through_small_graph(self):
+        # DRN is a local CNN: the tiled path serves a 2x-train-size LR input
+        # through the train-crop-compiled graph (VERDICT round-2 weak #6)
+        from adsr_tpu.core.config import (DataConfig, DRNModelConfig,
+                                          Experiment)
+        from adsr_tpu.models.factory import init_sr_params
+        from adsr_tpu.train.trainer import make_tiled_serving_forward
+
+        cfg = DRNModelConfig(scale=(2,), n_blocks=2, n_feats=4, n_colors=1)
+        exp = Experiment(model=cfg,
+                         data=DataConfig(scale=(2,), n_colors=1,
+                                         rgb_range=255.0, patch_size=16))
+        params, _ = init_sr_params(cfg, jax.random.key(0))
+        fwd = make_tiled_serving_forward(exp, params, tile=8, overlap=4)
+        lr = jnp.asarray(np.random.RandomState(1).rand(2, 16, 16, 1) * 255,
+                         jnp.float32)
+        sr = np.asarray(fwd(lr))
+        assert sr.shape == (2, 32, 32, 1)
+        assert np.all(np.isfinite(sr))

@@ -148,6 +148,7 @@ class TestTrainStep:
 
 
 class TestSkipThreshold:
+    @pytest.mark.slow
     def test_spike_skips_update(self):
         import dataclasses
         exp = tiny_drct_exp()
