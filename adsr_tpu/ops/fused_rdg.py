@@ -410,7 +410,11 @@ def fused_rdg(x: jnp.ndarray, blocks: List[Dict[str, jnp.ndarray]],
     # (l = 4096) one image per program already fills the budget
     while imgs > 1 and imgs * l > 4096:
         imgs //= 2
-    chains = max(1, min(int(os.environ.get("ADSR_TPU_RDG_CHAINS", "2")),
+    # measured on v5e (batch 128, imgs 4): chains=1 (fully row-stacked)
+    # 1067.5 img/s, chains=2 1045.7, chains=4 (per-image interleave) 1052.1
+    # — the op-count cut of full stacking beats the MXU/VPU overlap of
+    # separate chains on this issue-bound kernel
+    chains = max(1, min(int(os.environ.get("ADSR_TPU_RDG_CHAINS", "1")),
                         imgs))
     while imgs % chains:
         chains -= 1

@@ -38,7 +38,7 @@ make_rng order (statistically identical, bitwise different).
 from __future__ import annotations
 
 import functools
-from typing import Dict, Tuple
+from typing import Dict
 
 import numpy as np
 
@@ -48,9 +48,9 @@ from jax import lax
 from jax.experimental import pallas as pl
 
 from adsr_tpu.core.config import DRCTModelConfig
-from adsr_tpu.ops.fused_rdg import (_adj_base, _composed_shift_plan,
-                                    _pack_rdg_layer, _rdg_group, rdg_geometry)
-from adsr_tpu.ops.fused_swin_block import _HAS_PLTPU, _INTERPRET, _rup
+from adsr_tpu.ops.fused_rdg import (_composed_shift_plan, _pack_rdg_layer,
+                                    _rdg_group, rdg_geometry)
+from adsr_tpu.ops.fused_swin_block import _HAS_PLTPU, _INTERPRET
 
 if _HAS_PLTPU:
     from jax.experimental.pallas import tpu as pltpu

@@ -24,9 +24,13 @@ def setup() -> int:
     return 0
 
 
-def test() -> int:
-    return subprocess.call([sys.executable, "-m", "pytest", "tests/", "-x",
-                            "-q", "-m", "not slow"])
+def test(all_tests: bool = False) -> int:
+    """Fast lane (CI): deselects @slow. ``run.py test --all`` runs everything
+    (compile-heavy trainer/checkpoint/window-16 tests included)."""
+    cmd = [sys.executable, "-m", "pytest", "tests/", "-x", "-q"]
+    if not all_tests:
+        cmd += ["-m", "not slow"]
+    return subprocess.call(cmd)
 
 
 def smoke() -> int:
@@ -60,4 +64,6 @@ if __name__ == "__main__":
         print(f"unknown command: {cmd}")
         help_()
         sys.exit(2)
+    if cmd == "test":
+        sys.exit(test(all_tests="--all" in sys.argv[2:]))
     sys.exit(COMMANDS[cmd]())

@@ -69,7 +69,8 @@ class TestShardingRules:
 
 class TestParallelStep:
     @pytest.mark.parametrize(
-        "dp,tp", [pytest.param(8, 1, marks=pytest.mark.slow), (4, 2)])
+        "dp,tp", [pytest.param(8, 1, marks=pytest.mark.slow),
+                  pytest.param(4, 2, marks=pytest.mark.slow)])
     def test_drct_dp_tp_step(self, dp, tp):
         exp = tiny_exp(drct_model(), (2,), MeshConfig(dp=dp, tp=tp))
         tr = ParallelTrainer(exp, make_mesh(exp.mesh))
