@@ -445,7 +445,7 @@ def _rdg_train_fwd_call(cfg_key, h, w, x, dp, *ops):
         grid=(b,),
         in_specs=[pl.BlockSpec((1, l, c0p), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, 10), lambda i: (i, 0),
+                  pl.BlockSpec((1, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)]
         + [vmem()] * len(ops),
         out_specs=[pl.BlockSpec((1, l, c0p), lambda i: (i, 0, 0),
@@ -465,7 +465,7 @@ def _rdg_train_fwd_call(cfg_key, h, w, x, dp, *ops):
             vmem_limit_bytes=120 * 1024 * 1024)
             if _HAS_PLTPU and not _INTERPRET else None),
         interpret=_INTERPRET,
-    )(x, dp, *ops)
+    )(x, jnp.pad(dp, ((0, 0), (0, 128 - dp.shape[1]))), *ops)
     return out, cat
 
 
@@ -507,7 +507,7 @@ def _rdg_train_bwd(cfg_key, h, w, res, g):
     outs = pl.pallas_call(
         kernel,
         grid=(b,),
-        in_specs=[pl.BlockSpec((1, 10), lambda i: (i, 0),
+        in_specs=[pl.BlockSpec((1, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((1, l, cat_p), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -528,7 +528,7 @@ def _rdg_train_bwd(cfg_key, h, w, res, g):
             vmem_limit_bytes=128 * 1024 * 1024)
             if _HAS_PLTPU and not _INTERPRET else None),
         interpret=_INTERPRET,
-    )(dp, cat, g, *ops)
+    )(jnp.pad(dp, ((0, 0), (0, 128 - dp.shape[1]))), cat, g, *ops)
 
     dx = outs[0]
     dops_raw = outs[1:]

@@ -63,6 +63,33 @@ def _timed_best(call, k, repeats):
     return min(times), max(times) / min(times) - 1.0
 
 
+def platform_tflops():
+    """Chained 8192^3 bf16 matmul — a model-independent platform-speed probe.
+    The tunnel's chip speed varies across days (measured 119 TFLOPS on
+    2026-08-16, 112.3 on 2026-08-17 — ~6%, with serving throughput swinging
+    with it), so the headline throughput is only comparable across runs
+    relative to this number."""
+    n, k = 8192, 8
+    a = jax.random.normal(jax.random.key(0), (n, n), jnp.bfloat16)
+    b = jax.random.normal(jax.random.key(1), (n, n), jnp.bfloat16)
+
+    @jax.jit
+    def loop(a, b):
+        def body(a, _):
+            o = a @ b
+            return (o * (1.0 / n)).astype(jnp.bfloat16), jnp.float32(0)
+        a, _ = lax.scan(body, a, None, length=k)
+        return jnp.sum(a.astype(jnp.float32))
+
+    float(loop(a, b))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(loop(a, b))
+        best = min(best, (time.perf_counter() - t0) / k)
+    return 2 * n ** 3 / best / 1e12
+
+
 def bench_serving(exp, repeats=REPEATS):
     from adsr_tpu.models.factory import init_sr_params, make_model
 
@@ -279,6 +306,10 @@ def main() -> None:
                           precision="bf16")
     imgs_per_sec, spread = bench_serving(exp)
     try:
+        tflops = platform_tflops() if jax.default_backend() != "cpu" else None
+    except Exception:
+        tflops = None
+    try:
         train_imgs, train_mfu = bench_train(exp)
     except Exception:
         train_imgs, train_mfu = None, None
@@ -299,6 +330,8 @@ def main() -> None:
         "vs_baseline": round(imgs_per_sec / H100_REF_IMGS_PER_SEC, 3),
         "serving_spread_pct": round(spread * 100.0, 1),
     }
+    if tflops is not None:
+        out["platform_tflops_8k_matmul"] = round(tflops, 1)
     if train_imgs is not None:
         out["train_imgs_per_sec"] = round(train_imgs, 2)
         if train_mfu is not None:
