@@ -60,8 +60,9 @@ def main(argv=None):
                            if k.startswith("conv"))
                 out_ch = params[f"conv{last}"]["bias"].shape[0]
                 model = PDN(out_channels=out_ch, size=args.pdn_size)
-            template = model.init(jax.random.key(0),
-                                  jax.numpy.zeros((1, 256, 256, 3)))["params"]
+            from adsr_tpu.models.factory import fast_init
+            template = fast_init(model.init, jax.random.key(0),
+                                 jax.numpy.zeros((1, 256, 256, 3)))["params"]
             got = jax.tree_util.tree_map(lambda a: a.shape, params)
             want = jax.tree_util.tree_map(lambda a: a.shape, template)
             if got != want:

@@ -180,12 +180,14 @@ class EfficientADTrainer:
 
         key = jax.random.key(cfg.seed)
         dummy = jnp.zeros((1, cfg.image_size, cfg.image_size, 3))
-        self.teacher_params = self.teacher.init(
-            jax.random.fold_in(key, 0), dummy)["params"]
-        student_params = self.student.init(
-            jax.random.fold_in(key, 1), dummy)["params"]
-        ae_params = self.autoencoder.init(
-            jax.random.fold_in(key, 2), dummy)["params"]
+        from adsr_tpu.models.factory import fast_init
+        self.teacher_params = fast_init(
+            self.teacher.init, jax.random.fold_in(key, 0), dummy)["params"]
+        student_params = fast_init(
+            self.student.init, jax.random.fold_in(key, 1), dummy)["params"]
+        ae_params = fast_init(
+            self.autoencoder.init, jax.random.fold_in(key, 2),
+            dummy)["params"]
 
         self.optimizer = optax.chain(
             optax.add_decayed_weights(cfg.weight_decay),

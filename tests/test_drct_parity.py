@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from adsr_tpu.models.drct import (
     WindowAttention, relative_position_index, window_partition, window_reverse,
 )
+from adsr_tpu.models.factory import fast_init
 
 
 class TestWindowPartition:
@@ -69,7 +70,7 @@ class TestWindowAttentionParity:
         mask = None
         if mask_on:
             mask = rng.choice([0.0, -100.0], size=(4, n, n)).astype(np.float32)
-        params = mod.init(jax.random.key(0), jnp.asarray(x),
+        params = fast_init(mod.init, jax.random.key(0), jnp.asarray(x),
                           jnp.asarray(mask) if mask_on else None)["params"]
 
         wqkv = np.asarray(params["qkv"]["kernel"]).T      # [3C, C] torch layout

@@ -13,6 +13,7 @@ import jax.numpy as jnp
 from adsr_tpu.core.config import DRCTModelConfig
 from adsr_tpu.models.drct import DRCT
 from adsr_tpu.ops.fused_drct import fused_drct_apply, prepack_drct
+from adsr_tpu.models.factory import fast_init
 
 
 def _check(cfg, seed=0, atol=2e-3, batch=2):
@@ -20,7 +21,7 @@ def _check(cfg, seed=0, atol=2e-3, batch=2):
     rng = np.random.RandomState(seed)
     x = jnp.asarray(rng.rand(batch, cfg.img_size, cfg.img_size, cfg.in_chans)
                     * 255, jnp.float32)
-    params = model.init(jax.random.key(0), x)["params"]
+    params = fast_init(model.init, jax.random.key(0), x)["params"]
     want = np.asarray(model.apply({"params": params}, x))
     packed = prepack_drct(params, cfg, cfg.img_size, cfg.img_size,
                           dtype=jnp.float32, mode="rdg")
@@ -29,6 +30,7 @@ def _check(cfg, seed=0, atol=2e-3, batch=2):
     np.testing.assert_allclose(got, want, atol=atol, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_rdg_matches_flax_model():
     # batch 4 exercises the 4-image-interleaved program variant
     _check(DRCTModelConfig(upscale=2, img_size=8, window_size=4, in_chans=1,
@@ -36,6 +38,7 @@ def test_rdg_matches_flax_model():
                            scan_layers=True), batch=4)
 
 
+@pytest.mark.slow
 def test_rdg_matches_flax_model_heads_fixup():
     # embed 18, gc 6 -> dims 18/24/30/36/42 exercising the head fix-up
     # arithmetic (src/drct.py:337-367) and shifted-window masks
@@ -46,6 +49,7 @@ def test_rdg_matches_flax_model_heads_fixup():
                            scan_layers=True))
 
 
+@pytest.mark.slow
 def test_rdg_window8_parity():
     # window 8 (the 128px flagship geometry: quadrant runs of 16 rows)
     _check(DRCTModelConfig(upscale=2, img_size=16, window_size=8, in_chans=1,
@@ -63,14 +67,16 @@ def test_rdg_window16_parity():
 
 
 def _bf16_setup(seed=0, batch=2):
+    # num_layers=1: the bf16-numerics claim doesn't need depth, and
+    # interpret-mode cost scales with it (fast CI lane)
     cfg = DRCTModelConfig(upscale=2, img_size=8, window_size=4, in_chans=1,
-                          embed_dim=12, num_layers=2, num_heads=2, gc=4,
+                          embed_dim=12, num_layers=1, num_heads=2, gc=4,
                           scan_layers=True)
     model = DRCT(cfg)
     rng = np.random.RandomState(seed)
     x = jnp.asarray(rng.rand(batch, cfg.img_size, cfg.img_size, cfg.in_chans)
                     * 255, jnp.float32)
-    params = model.init(jax.random.key(0), x)["params"]
+    params = fast_init(model.init, jax.random.key(0), x)["params"]
     return cfg, model, params, x
 
 

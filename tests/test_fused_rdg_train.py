@@ -13,6 +13,7 @@ import jax.numpy as jnp
 
 from adsr_tpu.core.config import DRCTModelConfig
 from adsr_tpu.models.drct import DRCT
+from adsr_tpu.models.factory import fast_init
 from adsr_tpu.ops.fused_rdg_train import (drop_path_mults,
                                           fused_drct_train_forward)
 
@@ -22,12 +23,14 @@ def _setup(cfg, seed=0, batch=2):
     rng = np.random.RandomState(seed)
     x = jnp.asarray(rng.rand(batch, cfg.img_size, cfg.img_size, cfg.in_chans)
                     * 255, jnp.float32)
-    params = model.init(jax.random.key(0), x)["params"]
+    params = fast_init(model.init, jax.random.key(0), x)["params"]
     return model, params, x
 
 
+# num_layers=1 keeps the fast CI lane cheap; the slow grads test and the
+# --all lane cover multi-layer scan accumulation
 CFG = DRCTModelConfig(upscale=2, img_size=8, window_size=4, in_chans=1,
-                      embed_dim=12, num_layers=2, num_heads=2, gc=4,
+                      embed_dim=12, num_layers=1, num_heads=2, gc=4,
                       scan_layers=True)
 
 
@@ -40,6 +43,7 @@ def test_train_forward_matches_flax():
     np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_train_grads_match_flax():
     # end-to-end gradient parity: custom-VJP backward kernel + autodiff
     # through the (differentiable) weight packing vs plain flax autodiff.
@@ -79,14 +83,17 @@ def test_train_grads_match_flax():
 
 
 def test_drop_path_mults_schedule():
-    mults = drop_path_mults(jax.random.key(0), CFG, 4, deterministic=True)
+    # needs >=2 layers for the later-layer rates; pure host math, no init
+    import dataclasses
+    cfg2 = dataclasses.replace(CFG, num_layers=2)
+    mults = drop_path_mults(jax.random.key(0), cfg2, 4, deterministic=True)
     assert mults.shape == (2, 4, 10)
     np.testing.assert_allclose(np.asarray(mults), 1.0)
     # stochastic: layer 0 has rate 0 -> all ones; later layers 0 or 1/keep
-    m = np.asarray(drop_path_mults(jax.random.key(1), CFG, 64,
+    m = np.asarray(drop_path_mults(jax.random.key(1), cfg2, 64,
                                    deterministic=False))
     np.testing.assert_allclose(m[0], 1.0)
-    total = 6 * CFG.num_layers
+    total = 6 * cfg2.num_layers
     keep = 1.0 - 0.1 * 6 / (total - 1)
     for v in np.unique(m[1]):
         assert np.isclose(v, 0.0) or np.isclose(v, 1.0 / keep, rtol=1e-5), v

@@ -13,10 +13,13 @@ import jax.numpy as jnp
 
 from adsr_tpu.models.drct import SwinBlock, shift_attn_mask
 from adsr_tpu.ops.fused_swin_block import fused_swin_block, pack_swin_weights
+from adsr_tpu.models.factory import fast_init
 
 
 @pytest.mark.parametrize("shift", [0, 2])
-@pytest.mark.parametrize("c,nh", [(12, 2), (20, 4)])
+@pytest.mark.parametrize("c,nh", [(12, 2),
+                                  pytest.param(20, 4,
+                                               marks=pytest.mark.slow)])
 def test_matches_swin_block(shift, c, nh):
     h = w = 8
     win = 4
@@ -25,7 +28,7 @@ def test_matches_swin_block(shift, c, nh):
 
     blk = SwinBlock(dim=c, input_resolution=(h, w), num_heads=nh,
                     window_size=win, shift_size=shift, mlp_ratio=2.0)
-    params = blk.init(jax.random.key(0), x, (h, w))["params"]
+    params = fast_init(blk.init, jax.random.key(0), x, (h, w))["params"]
     want = np.asarray(blk.apply({"params": params}, x, (h, w)))
 
     packed = {k: jnp.asarray(v) for k, v in

@@ -13,11 +13,14 @@ from adsr_tpu.core.config import (DataConfig, DRCTModelConfig, Experiment,
                                   OptimConfig)
 from adsr_tpu.io.journal import Journal, load_params, save_params
 from adsr_tpu.train.trainer import Trainer, make_train_step
+from adsr_tpu.models.factory import fast_init
 
 
 def tiny_exp(save, **kw):
+    # identical geometry to tests/test_train.tiny_drct_exp so the train-step
+    # graph is compiled once per suite run (persistent-cache hit here)
     model = DRCTModelConfig(upscale=2, img_size=8, window_size=4, in_chans=1,
-                            embed_dim=8, num_layers=1, num_heads=2, gc=4)
+                            embed_dim=12, num_layers=1, num_heads=2, gc=4)
     data = DataConfig(resolution=16, patch_size=16, scale=(2,), n_colors=1,
                       batch_size=2, test_every=2, data_test="t")
     return Experiment(model=model, data=data,
@@ -105,11 +108,11 @@ class TestLayoutAdaptiveLoading:
                                   in_chans=1, embed_dim=12, num_layers=2,
                                   num_heads=2, gc=4, scan_layers=False)
         x = jnp.zeros((1, 8, 8, 1))
-        p_old = DRCT(cfg_old).init(jax.random.key(0), x)["params"]
+        p_old = fast_init(DRCT(cfg_old).init, jax.random.key(0), x)["params"]
         path = str(tmp_path / "old.msgpack")
         save_params(path, p_old)
         cfg_new = dataclasses.replace(cfg_old, scan_layers=True)
-        template = DRCT(cfg_new).init(jax.random.key(1), x)["params"]
+        template = fast_init(DRCT(cfg_new).init, jax.random.key(1), x)["params"]
         loaded = load_params(path, template)
         o_old = DRCT(cfg_old).apply({"params": p_old}, x)
         o_new = DRCT(cfg_new).apply({"params": loaded}, x)

@@ -11,6 +11,7 @@ from adsr_tpu.models.common import pixel_shuffle, upsample_bicubic
 from adsr_tpu.models.drct import DRCT, relative_position_index, shift_attn_mask
 from adsr_tpu.models.drn import DRN, DownBlock
 from adsr_tpu.models.efficientad import PDN, Autoencoder
+from adsr_tpu.models.factory import fast_init
 
 
 def n_params(tree):
@@ -51,7 +52,7 @@ class TestDRN:
                              n_feats=4, n_colors=1)
         model = DRN(cfg)
         lr = jnp.zeros((2, 8, 8, 1))
-        params = model.init(jax.random.key(0), lr)
+        params = fast_init(model.init, jax.random.key(0), lr)
         outs = model.apply(params, lr)
         phase = len(cfg.scale)
         assert len(outs) == phase + 1
@@ -64,7 +65,7 @@ class TestDRN:
     def test_dual_downblock(self):
         blk = DownBlock(scale=2, n_feat=4, in_channels=1, out_channels=1)
         x = jnp.zeros((2, 16, 16, 1))
-        params = blk.init(jax.random.key(0), x)
+        params = fast_init(blk.init, jax.random.key(0), x)
         assert blk.apply(params, x).shape == (2, 8, 8, 1)
 
 
@@ -75,7 +76,7 @@ class TestDRCT:
                               num_heads=2, gc=4)
         model = DRCT(cfg)
         lr = jnp.zeros((1, 16, 16, 1))
-        params = model.init(jax.random.key(0), lr)
+        params = fast_init(model.init, jax.random.key(0), lr)
         out = model.apply(params, lr)
         assert out.shape == (1, 64, 64, 1)
 
@@ -109,7 +110,7 @@ class TestDRCT:
                               in_chans=1, embed_dim=180, num_layers=12,
                               num_heads=6, gc=32)
         model = DRCT(cfg)
-        params = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 1)))
+        params = fast_init(model.init, jax.random.key(0), jnp.zeros((1, 32, 32, 1)))
         n = n_params(params)
         assert 25e6 < n < 31e6, n
 
@@ -118,7 +119,7 @@ class TestEfficientAD:
     def test_pdn_small_output(self):
         m = PDN(out_channels=384, size="small")
         x = jnp.zeros((1, 256, 256, 3))
-        params = m.init(jax.random.key(0), x)
+        params = fast_init(m.init, jax.random.key(0), x)
         out = m.apply(params, x)
         # 256 -> (k4) 253 -> pool 126 -> (k4) 123 -> pool 61 -> (k3) 59 -> (k4) 56
         assert out.shape == (1, 56, 56, 384)
@@ -126,17 +127,18 @@ class TestEfficientAD:
     def test_pdn_medium_output(self):
         m = PDN(out_channels=384, size="medium")
         x = jnp.zeros((1, 256, 256, 3))
-        params = m.init(jax.random.key(0), x)
+        params = fast_init(m.init, jax.random.key(0), x)
         assert m.apply(params, x).shape == (1, 56, 56, 384)
 
     def test_autoencoder_output(self):
         m = Autoencoder(out_channels=384)
         x = jnp.zeros((1, 256, 256, 3))
-        params = m.init(jax.random.key(0), x)
+        params = fast_init(m.init, jax.random.key(0), x)
         assert m.apply(params, x).shape == (1, 56, 56, 384)
 
 
 class TestDRCTScanLayers:
+    @pytest.mark.slow
     def test_scan_equals_loop(self):
         """nn.scan-stacked RDGs compute the same function as the unrolled loop
         when fed the same (stacked) parameters."""
@@ -148,7 +150,7 @@ class TestDRCTScanLayers:
         x = jnp.asarray(np.random.RandomState(0).rand(2, 8, 8, 1) * 255,
                         jnp.float32)
         m_loop = DRCT(cfg)
-        p_loop = m_loop.init(jax.random.key(0), x)["params"]
+        p_loop = fast_init(m_loop.init, jax.random.key(0), x)["params"]
         rdgs = [p_loop[f"rdg_{i}"] for i in range(3)]
         stacked = jtu.tree_map(lambda *xs: jnp.stack(xs), *rdgs)
         p_scan = {k: v for k, v in p_loop.items() if not k.startswith("rdg_")}
@@ -170,7 +172,7 @@ class TestDRCTScanLayers:
         x = jnp.asarray(np.random.RandomState(1).rand(2, 8, 8, 1) * 255,
                         jnp.float32)
         m_full = DRCT(cfg)
-        p = m_full.init(jax.random.key(0), x)["params"]
+        p = fast_init(m_full.init, jax.random.key(0), x)["params"]
         m_dots = DRCT(dataclasses.replace(cfg, remat_policy="dots"))
 
         def loss(m):
@@ -192,7 +194,7 @@ class TestDRCTScanLayers:
                               scan_layers=True)
         m = DRCT(cfg)
         x = jnp.zeros((2, 8, 8, 1))
-        p = m.init(jax.random.key(0), x)["params"]
+        p = fast_init(m.init, jax.random.key(0), x)["params"]
         out = m.apply({"params": p}, x, deterministic=False,
                       rngs={"dropout": jax.random.key(1)})
         assert out.shape == (2, 16, 16, 1)
@@ -207,7 +209,7 @@ class TestDRNScanBlocks:
         x = jnp.asarray(np.random.RandomState(0).rand(2, 4, 4, 1) * 255,
                         jnp.float32)
         m_loop = DRN(cfg)
-        p_loop = m_loop.init(jax.random.key(0), x)["params"]
+        p_loop = fast_init(m_loop.init, jax.random.key(0), x)["params"]
         p_scan = dict(p_loop)
         for i in range(2):
             blocks = [p_scan.pop(f"up{i}_rcab{j}") for j in range(3)]

@@ -7,6 +7,7 @@ import jax
 import jax.numpy as jnp
 
 from adsr_tpu.eval.tiled import feather_mask, tile_starts, tiled_sr_forward
+from adsr_tpu.models.factory import fast_init
 
 
 class TestPlan:
@@ -72,7 +73,7 @@ class TestDRCTTiled:
                               num_heads=2, gc=4, scan_layers=True)
         model = DRCT(cfg)
         lr8 = jnp.zeros((1, 8, 8, 1))
-        params = model.init(jax.random.key(0), lr8)["params"]
+        params = fast_init(model.init, jax.random.key(0), lr8)["params"]
         exp = Experiment(model=cfg,
                          data=DataConfig(scale=(2,), n_colors=1,
                                          rgb_range=255.0))
