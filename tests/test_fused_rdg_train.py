@@ -82,6 +82,20 @@ def test_train_grads_match_flax():
             err_msg=jax.tree_util.keystr(path))
 
 
+def test_train_forward_bf16_path_parity():
+    # the hardware train path packs and computes in bf16 — run those exact
+    # numerics (bf16 operands, f32 LN/softmax internals) in interpret mode
+    # against the flax f32 oracle (mirrors the serving-path bf16 test the
+    # round-2 advisor asked for)
+    model, params, x = _setup(CFG)
+    want = np.asarray(model.apply({"params": params}, x))
+    got = np.asarray(fused_drct_train_forward(params, CFG, x,
+                                              deterministic=True,
+                                              dtype=jnp.bfloat16))
+    err = np.abs(got - want)
+    assert err.max() < 5.0 and err.mean() < 1.0, (err.max(), err.mean())
+
+
 def test_drop_path_mults_schedule():
     # needs >=2 layers for the later-layer rates; pure host math, no init
     import dataclasses
