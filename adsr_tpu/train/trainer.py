@@ -98,11 +98,13 @@ def make_train_step(exp: Experiment) -> TrainStepBundle:
     # fused DRCT training path: forward AND custom-VJP backward as whole-RDG
     # Pallas programs (ops/fused_rdg_train.py) — opt-in while hardware
     # validation is fresh (ADSR_TPU_FUSED_TRAIN=1); CPU/tests use XLA
+    fused_flag = os.environ.get("ADSR_TPU_FUSED_TRAIN", "0")
     use_fused_train = (
         isinstance(exp.model, DRCTModelConfig)
         and getattr(exp.model, "scan_layers", False)
-        and os.environ.get("ADSR_TPU_FUSED_TRAIN", "0") == "1"
-        and jax.default_backend() not in ("cpu",)
+        and (fused_flag == "force"  # tests: interpret mode on CPU
+             or (fused_flag == "1"
+                 and jax.default_backend() not in ("cpu",)))
     )
 
     def primal_forward(params, lr0, rng):

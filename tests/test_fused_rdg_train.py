@@ -128,3 +128,40 @@ def test_train_forward_droppath_zero_branch():
     # finite and close to deterministic in distribution, not identical
     assert np.isfinite(got_rng).all()
     assert got_det.shape == got_rng.shape
+
+
+def test_fused_train_step_matches_xla_step(monkeypatch):
+    # the EXACT code path the TPU train bench takes (trainer branch ->
+    # custom-VJP kernels -> optax update), interpret mode: at num_layers=1
+    # every drop-path rate is 0, so the fused step and the XLA step must
+    # produce the same loss and near-identical updated params in fp32
+    import dataclasses
+
+    from adsr_tpu.core.config import DataConfig, Experiment, OptimConfig
+    from adsr_tpu.train.trainer import make_train_step
+
+    cfg = dataclasses.replace(CFG)
+    data = DataConfig(resolution=16, patch_size=16, scale=(2,), n_colors=1,
+                      batch_size=2, test_every=2)
+    exp = Experiment(model=cfg, data=data, optim=OptimConfig(lr=1e-3),
+                     save="/tmp/t", precision="fp32")
+    rng = np.random.RandomState(3)
+    lrs = [jnp.asarray(rng.rand(2, 8, 8, 1) * 255, jnp.float32)]
+    hr = jnp.asarray(rng.rand(2, 16, 16, 1) * 255, jnp.float32)
+
+    def run(flag):
+        monkeypatch.setenv("ADSR_TPU_FUSED_TRAIN", flag)
+        step, init_state, _ = make_train_step(exp)
+        state = init_state(jax.random.key(0))
+        state, metrics = step(state, lrs, hr, 1e-3, jax.random.key(1))
+        return float(metrics["total"]), state.params
+
+    loss_x, params_x = run("0")
+    loss_f, params_f = run("force")
+    assert loss_f == pytest.approx(loss_x, rel=1e-5)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(params_x),
+            jax.tree_util.tree_leaves_with_path(params_f)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=5e-5,
+            err_msg=jax.tree_util.keystr(path))
