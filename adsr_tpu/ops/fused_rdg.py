@@ -256,6 +256,31 @@ def _pack_rdg_layer(layer_params: Dict, cfg: DRCTModelConfig,
     return out
 
 
+def _fold_adjust_into_mlp(blk: Dict[str, jnp.ndarray]) -> Dict:
+    """Serving-only pack fold: the swin-block output x2 = x1 + (gelu(h)@W2
+    + b2) is consumed by NOTHING but the adjust matmul (the RDG appends only
+    ``adj`` to the concat buffer; x2 itself is dead — reference
+    src/drct.py:337-373 wires each block's output straight into its 1x1
+    adjust conv), so
+
+        adj = x2 @ Wadj = x1 @ Wadj + h @ (W2 @ Wadj) + (b2 @ Wadj + badj)
+
+    and W2@Wadj folds at pack time. The kernel's [L,f_p]x[f_p,c_p] MLP-out
+    matmul + [L,c_p] residual add + [L,c_p]x[c_p,width] adjust become two
+    narrow [*,width] matmuls (width 128, vs c_p 256/384) — ~10% of the
+    per-block MXU work removed, plus f_p*c_p -> f_p*width weight VMEM.
+    Operates on the vmapped-over-layers packed dicts ([12, ...] leaves);
+    the training pack (ops/fused_rdg_train.py) keeps the unfolded form
+    because its backward differentiates through x2."""
+    blk = dict(blk)
+    w2 = blk["w2"].astype(jnp.float32)                    # [layers, f_p, c_p]
+    wadj = blk["wadj"].astype(jnp.float32)                # [layers, c_p, wd]
+    b2 = blk["bvec"][..., 3:4, :w2.shape[-1]].astype(jnp.float32)
+    blk["w2"] = jnp.matmul(w2, wadj).astype(blk["wadj"].dtype)
+    blk["badj"] = blk["badj"] + jnp.matmul(b2, wadj)
+    return blk
+
+
 def _score_bound(blocks: List[Dict[str, jnp.ndarray]], cfg: DRCTModelConfig,
                  iters: int = 24) -> jnp.ndarray:
     """Upper estimate of the largest attention score the packed weights can
@@ -315,6 +340,8 @@ def prepack_rdg_stack(params: Dict, cfg: DRCTModelConfig, h: int, w: int,
             lambda layer: _pack_rdg_layer(layer, cfg, h, w, dtype))(rdg_tree)]
         bound = (_score_bound(blocks, cfg) if dtype == jnp.bfloat16
                  else jnp.asarray(0.0, jnp.float32))
+        if _FOLD_ADJ:
+            blocks = [_fold_adjust_into_mlp(b) for b in blocks]
         return blocks, bound
 
     def _fold(blocks):
@@ -481,6 +508,9 @@ _GELU = os.environ.get("ADSR_TPU_GELU", "tanh")
 # and attention term (ADSR_TPU_RDG_EXP2=0 opts out)
 _EXP2 = os.environ.get("ADSR_TPU_RDG_EXP2", "1") != "0"
 _LOG2E = 1.4426950408889634
+# fold W2@Wadj at pack time (see _fold_adjust_into_mlp;
+# ADSR_TPU_RDG_FOLD_ADJ=0 opts out — pack and kernel read the same flag)
+_FOLD_ADJ = os.environ.get("ADSR_TPU_RDG_FOLD_ADJ", "1") != "0"
 
 
 def _rdg_kernel_impl(x_ref, *refs, h, w, win, imgs, chains, cs, cps, nhs,
@@ -549,7 +579,8 @@ def _rdg_kernel_impl(x_ref, *refs, h, w, win, imgs, chains, cs, cps, nhs,
         bqkv = bvec_ref[0:1, :c3_p]
         bproj = bvec_ref[1:2, :c_p]
         b1 = bvec_ref[2:3, :f_p]
-        b2 = bvec_ref[3:4, :c_p]
+        if not _FOLD_ADJ:
+            b2 = bvec_ref[3:4, :c_p]    # folded into badj otherwise
 
         def mm_or_stub(a, w_ref, n_out):
             # probe "nomatmul": timing-only ablation replacing the big
@@ -652,10 +683,19 @@ def _rdg_kernel_impl(x_ref, *refs, h, w, win, imgs, chains, cs, cps, nhs,
                     1.421413741 + t * (-1.453152027 + t * 1.061405429))))
                 erf_z = jnp.sign(z) * (1.0 - poly * jnp.exp(-az * az))
                 hmid = 0.5 * hmid * (1.0 + erf_z)
-        x = x + (mm_or_stub(hmid.astype(mm), w2_ref, c_p) + b2)
-
-        adj = mm_or_stub(x.astype(mm), wadj_ref,
-                         wadj_ref.shape[1]) + badj_ref[0]
+        if _FOLD_ADJ:
+            # x2 is dead after the adjust matmul, so W2@Wadj was folded at
+            # pack time (_fold_adjust_into_mlp): two narrow [*, width]
+            # matmuls replace the full [f_p, c_p] MLP-out matmul, its
+            # [L, c_p] residual add, and the [c_p, width] adjust
+            aw = wadj_ref.shape[1]
+            adj = (mm_or_stub(x.astype(mm), wadj_ref, aw)
+                   + mm_or_stub(hmid.astype(mm), w2_ref, aw)
+                   + badj_ref[0])
+        else:
+            x = x + (mm_or_stub(hmid.astype(mm), w2_ref, c_p) + b2)
+            adj = mm_or_stub(x.astype(mm), wadj_ref,
+                             wadj_ref.shape[1]) + badj_ref[0]
         if k < 4:
             adj = jnp.where(adj >= 0, adj, 0.2 * adj)      # leaky_relu(0.2)
             base = cat_p - adj.shape[1]

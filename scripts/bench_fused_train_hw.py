@@ -1,0 +1,111 @@
+"""Hardware validation + throughput for the fused custom-VJP training path.
+
+Stages (run one per invocation so each remote Mosaic compile is bounded and
+observable; see ARCHITECTURE.md "TPU bench hygiene"):
+
+  python scripts/bench_fused_train_hw.py probe    # platform-speed control
+  python scripts/bench_fused_train_hw.py parity   # fused train fwd vs flax
+  python scripts/bench_fused_train_hw.py fused    # train-step imgs/s, fused
+  python scripts/bench_fused_train_hw.py xla      # train-step imgs/s, XLA
+
+The fused path is ops/fused_rdg_train.py (custom-VJP whole-RDG Pallas
+programs); gradient parity vs flax is interpret-tested in
+tests/test_fused_rdg_train.py — this script establishes the *hardware*
+numbers the trainer default is flipped on.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _exp(batch):
+    import dataclasses
+
+    from adsr_tpu.core.config import drct_experiment
+
+    exp = drct_experiment(classe="grid", resolution=128, scale=4,
+                          precision="bf16")
+    return dataclasses.replace(
+        exp, data=dataclasses.replace(exp.data, batch_size=batch))
+
+
+def stage_probe():
+    import bench
+    print(f"platform_tflops={bench.platform_tflops():.1f}")
+
+
+def stage_serving():
+    """Serving throughput under the current ADSR_TPU_RDG_FOLD_ADJ setting —
+    used for the fold-the-adjust-matmul A/B (ops/fused_rdg.py
+    _fold_adjust_into_mlp) on the same platform day."""
+    import bench
+    t0 = time.perf_counter()
+    imgs, spread = bench.bench_serving(_exp(4))
+    fold = os.environ.get("ADSR_TPU_RDG_FOLD_ADJ", "1")
+    print(f"serving fold_adj={fold}: {imgs:.2f} img/s "
+          f"(spread {spread * 100:.1f}%, "
+          f"wall incl. compile {time.perf_counter() - t0:.0f}s)")
+
+
+def stage_parity():
+    """Deterministic fused train forward vs the flax model, bf16, batch 4 —
+    same dB yardstick as the serving parity rows in ARCHITECTURE.md."""
+    import jax
+    import jax.numpy as jnp
+
+    from adsr_tpu.models.factory import init_sr_params, make_model
+    from adsr_tpu.ops.fused_rdg_train import fused_drct_train_forward
+
+    exp = _exp(4)
+    model = make_model(exp.model, exp.precision)
+    params, _ = init_sr_params(exp.model, jax.random.key(0), exp.precision)
+    x = jax.random.uniform(jax.random.key(1), (4, 32, 32, 1),
+                           jnp.float32, 0.0, 255.0)
+
+    ref = jax.jit(lambda p, x: model.apply({"params": p}, x,
+                                           deterministic=True))(params, x)
+    got = jax.jit(lambda p, x: fused_drct_train_forward(
+        p, exp.model, x, deterministic=True, dtype=jnp.bfloat16))(params, x)
+    ref, got = np.asarray(ref), np.asarray(got)
+    err = float(np.sqrt(np.mean((ref - got) ** 2)))
+    db = 20 * np.log10(255.0 / max(err, 1e-12))
+    print(f"train-fwd parity: rmse={err:.4f} ({db:.1f} dB vs flax bf16), "
+          f"ref_range=[{ref.min():.1f},{ref.max():.1f}]")
+
+
+def stage_train(fused: bool, batch: int = 16):
+    os.environ["ADSR_TPU_FUSED_TRAIN"] = "1" if fused else "0"
+    import bench
+    t0 = time.perf_counter()
+    imgs, mfu = bench.bench_train(_exp(batch))
+    print(f"train fused={int(fused)} batch={batch}: {imgs:.2f} img/s, "
+          f"MFU {mfu:.1f}% (wall incl. compile {time.perf_counter()-t0:.0f}s)")
+
+
+def main():
+    from adsr_tpu.core.runtime import setup_compilation_cache
+    setup_compilation_cache()
+
+    stage = sys.argv[1] if len(sys.argv) > 1 else "probe"
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    if stage == "probe":
+        stage_probe()
+    elif stage == "serving":
+        stage_serving()
+    elif stage == "parity":
+        stage_parity()
+    elif stage == "fused":
+        stage_train(True, batch)
+    elif stage == "xla":
+        stage_train(False, batch)
+    else:
+        raise SystemExit(f"unknown stage {stage!r}")
+
+
+if __name__ == "__main__":
+    main()
