@@ -342,6 +342,15 @@ def prepack_rdg_stack(params: Dict, cfg: DRCTModelConfig, h: int, w: int,
                  else jnp.asarray(0.0, jnp.float32))
         if _FOLD_ADJ:
             blocks = [_fold_adjust_into_mlp(b) for b in blocks]
+            # also fold the RDG-out residual scale (out = 0.2*adj5 + x_in,
+            # src/drct.py:394) into block 5's packed adjust operands — adj5
+            # has no leaky-relu, so the scale is linear in all three terms
+            b4 = dict(blocks[4])
+            for key in ("wadj", "w2"):
+                b4[key] = (b4[key].astype(jnp.float32) * 0.2) \
+                    .astype(b4[key].dtype)
+            b4["badj"] = b4["badj"] * 0.2
+            blocks[4] = b4
         return blocks, bound
 
     def _fold(blocks):
@@ -717,7 +726,9 @@ def _rdg_kernel_impl(x_ref, *refs, h, w, win, imgs, chains, cs, cps, nhs,
                 cat_scr[o:o + cl, base:] = cat_scr[o:o + cl, base:] \
                     + win_scr[o:o + cl, :aw].astype(cat_scr.dtype)
         else:
-            out = 0.2 * adj[:, :c0p]
+            # 0.2 residual scale pre-folded into block 5's packed operands
+            # on the fold path (see prepack_rdg_stack._build)
+            out = adj[:, :c0p] if _FOLD_ADJ else 0.2 * adj[:, :c0p]
             for img in range(ipc):
                 gi = ch * ipc + img
                 o_ref[gi] = (out[img * l:(img + 1) * l]
