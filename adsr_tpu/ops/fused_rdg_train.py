@@ -152,8 +152,8 @@ def _fwd_kernel(x_ref, dp_ref, *refs, h, w, win, cs, cps, nhs, shifts,
         c3_p, f_p = c3ps[k], fps[k]
         hd = c // nh
         plan = shift_plans[k]
-        m_attn = dp_ref[0, 2 * k]
-        m_mlp = dp_ref[0, 2 * k + 1]
+        m_attn = dp_ref[0, 0, 2 * k]
+        m_mlp = dp_ref[0, 0, 2 * k + 1]
 
         if plan is None:
             x = cat_scr[:, :c_p].astype(jnp.float32)
@@ -266,8 +266,8 @@ def _bwd_kernel(dp_ref, cat_ref, g_ref, *refs, h, w, win, cs, cps,
         c3_p, f_p = c3ps[k], fps[k]
         hd = c // nh
         plan = shift_plans[k]
-        m_attn = dp_ref[0, 2 * k]
-        m_mlp = dp_ref[0, 2 * k + 1]
+        m_attn = dp_ref[0, 0, 2 * k]
+        m_mlp = dp_ref[0, 0, 2 * k + 1]
         bqkv = bvec_ref[0:1, :c3_p]
         b1 = bvec_ref[2:3, :f_p]
         b2 = bvec_ref[3:4, :c_p]
@@ -445,7 +445,10 @@ def _rdg_train_fwd_call(cfg_key, h, w, x, dp, *ops):
         grid=(b,),
         in_specs=[pl.BlockSpec((1, l, c0p), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, 128), lambda i: (i, 0),
+                  # (b, 1, 128) so the trailing block dims equal the array
+                  # dims — Mosaic rejects a (1, 128) block on a (b, 128)
+                  # array when b is not a multiple of 8.
+                  pl.BlockSpec((1, 1, 128), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)]
         + [vmem()] * len(ops),
         out_specs=[pl.BlockSpec((1, l, c0p), lambda i: (i, 0, 0),
@@ -465,7 +468,7 @@ def _rdg_train_fwd_call(cfg_key, h, w, x, dp, *ops):
             vmem_limit_bytes=120 * 1024 * 1024)
             if _HAS_PLTPU and not _INTERPRET else None),
         interpret=_INTERPRET,
-    )(x, jnp.pad(dp, ((0, 0), (0, 128 - dp.shape[1]))), *ops)
+    )(x, jnp.pad(dp, ((0, 0), (0, 128 - dp.shape[1])))[:, None, :], *ops)
     return out, cat
 
 
@@ -507,7 +510,7 @@ def _rdg_train_bwd(cfg_key, h, w, res, g):
     outs = pl.pallas_call(
         kernel,
         grid=(b,),
-        in_specs=[pl.BlockSpec((1, 128), lambda i: (i, 0),
+        in_specs=[pl.BlockSpec((1, 1, 128), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((1, l, cat_p), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -528,7 +531,8 @@ def _rdg_train_bwd(cfg_key, h, w, res, g):
             vmem_limit_bytes=128 * 1024 * 1024)
             if _HAS_PLTPU and not _INTERPRET else None),
         interpret=_INTERPRET,
-    )(jnp.pad(dp, ((0, 0), (0, 128 - dp.shape[1]))), cat, g, *ops)
+    )(jnp.pad(dp, ((0, 0), (0, 128 - dp.shape[1])))[:, None, :], cat, g,
+      *ops)
 
     dx = outs[0]
     dops_raw = outs[1:]
