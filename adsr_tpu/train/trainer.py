@@ -49,6 +49,13 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
 
 
+# Scoped-vmem budget for compiles containing the fused custom-VJP backward
+# (ops/fused_rdg_train.py): its 41 VMEM-resident outputs need ~46 MiB of
+# custom-call staging vs the ~16 MiB default.  Any jit that inlines the fused
+# train step (e.g. bench.py's chained-scan loop) must carry these options.
+FUSED_TRAIN_COMPILER_OPTIONS = {"xla_tpu_scoped_vmem_limit_kib": "98304"}
+
+
 def cosine_lr(epoch: int, lr0: float, eta_min: float, epochs: int) -> float:
     """CosineAnnealingLR value at (0-based) epoch (trainer.py:76-83)."""
     return eta_min + (lr0 - eta_min) * (1 + math.cos(math.pi * epoch / epochs)) / 2
@@ -96,16 +103,33 @@ def make_train_step(exp: Experiment) -> TrainStepBundle:
     dual_weight = exp.optim.dual_weight
 
     # fused DRCT training path: forward AND custom-VJP backward as whole-RDG
-    # Pallas programs (ops/fused_rdg_train.py) — opt-in while hardware
-    # validation is fresh (ADSR_TPU_FUSED_TRAIN=1); CPU/tests use XLA
-    fused_flag = os.environ.get("ADSR_TPU_FUSED_TRAIN", "0")
+    # Pallas programs (ops/fused_rdg_train.py) — DEFAULT on TPU (measured
+    # 171.8 vs 97.7 img/s / 22.0% vs 12.5% MFU on v5e, batch 16; fwd parity
+    # 81.9 dB vs flax bf16 on hardware, grad parity interpret-tested);
+    # ADSR_TPU_FUSED_TRAIN=0 opts out, CPU/tests use XLA unless 'force'
+    fused_flag = os.environ.get("ADSR_TPU_FUSED_TRAIN", "1")
     use_fused_train = (
         isinstance(exp.model, DRCTModelConfig)
         and getattr(exp.model, "scan_layers", False)
         and (fused_flag == "force"  # tests: interpret mode on CPU
              or (fused_flag == "1"
-                 and jax.default_backend() not in ("cpu",)))
+                 and jax.default_backend() not in ("cpu",)
+                 # single-chip only: GSPMD cannot partition the Pallas
+                 # custom call, so sharded meshes use the XLA model (which
+                 # partitions fine); a shard_map wrapper is future work
+                 and jax.device_count() == 1))
     )
+
+    # The fused backward kernel's 41 VMEM-resident buffers (40 grad
+    # accumulators + dx) exceed XLA's default ~16 MiB scoped-vmem budget for
+    # custom-call staging; raise it for THIS compile only (the serving path
+    # keeps the default).  Applied via per-jit compiler_options — the
+    # client-side XLA_FLAGS parser rejects TPU-only flags in this env.
+    # (TPU-only: the CPU compiler rejects unknown options, and the interpret
+    # -mode 'force' path used by tests runs on CPU)
+    compiler_options = (dict(FUSED_TRAIN_COMPILER_OPTIONS)
+                        if use_fused_train
+                        and jax.default_backend() not in ("cpu",) else None)
 
     def primal_forward(params, lr0, rng):
         if use_fused_train:
@@ -144,9 +168,8 @@ def make_train_step(exp: Experiment) -> TrainStepBundle:
 
     skip_threshold = exp.optim.skip_threshold
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: TrainState, lrs, hr, lr_rate, rng,
-                   error_last=1e8):  # reference init value (trainer.py:126)
+    def train_step_fn(state: TrainState, lrs, hr, lr_rate, rng,
+                      error_last=1e8):  # reference init value (trainer.py:126)
         (_, metrics), grads = jax.value_and_grad(loss_of, has_aux=True)(
             state.params, lrs, hr, rng)
         updates, opt_state = optimizer.update(grads, state.opt_state,
@@ -166,6 +189,12 @@ def make_train_step(exp: Experiment) -> TrainStepBundle:
         return TrainState(step=state.step + 1, params=params,
                           opt_state=opt_state), metrics
 
+    # compiler_options is only legal on a TOP-LEVEL jit; callers that embed
+    # the step in their own jit (bench.py's chained scan, sharded wrappers)
+    # must use `bundle.raw_step` and carry `bundle.compiler_options`
+    train_step = jax.jit(train_step_fn, donate_argnums=(0,),
+                         compiler_options=compiler_options)
+
     def init_state(key: jax.Array) -> TrainState:
         primal, dual_params = init_sr_params(exp.model, key, exp.precision)
         params = {"primal": primal}
@@ -175,7 +204,11 @@ def make_train_step(exp: Experiment) -> TrainStepBundle:
         return TrainState(step=jnp.asarray(0), params=params,
                           opt_state=opt_state)
 
-    return TrainStepBundle(train_step, init_state, model, optimizer)
+    bundle = TrainStepBundle(train_step, init_state, model, optimizer)
+    bundle.use_fused_train = use_fused_train
+    bundle.compiler_options = compiler_options
+    bundle.raw_step = train_step_fn
+    return bundle
 
 
 def make_eval_forward(exp: Experiment):

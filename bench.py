@@ -35,6 +35,7 @@ compiled-and-batched reference on its own hardware.
 
 from __future__ import annotations
 
+import functools
 import json
 import time
 
@@ -48,7 +49,10 @@ BATCH = 128     # throughput-optimal (batch 32: -9%, batch 64: -4%)
 K = 10          # chained iterations per timed call
 TRAIN_BATCH = 16
 TRAIN_K = 5
-REPEATS = 10        # headline: best of 10 chains (~15 s window)
+REPEATS = 16        # headline: best of 16 chains (~25 s window) — transient
+                    # host contention must persist across the whole window
+                    # to bias the reported best (driver-vs-builder gap was
+                    # 11% with naive best-of-3 in round 2)
 REPEATS_AUX = 5
 
 
@@ -141,7 +145,8 @@ def bench_train(exp):
 
     exp = dataclasses.replace(
         exp, data=dataclasses.replace(exp.data, batch_size=TRAIN_BATCH))
-    step, init_state, _ = make_train_step(exp)
+    bundle = make_train_step(exp)
+    step, init_state = bundle.raw_step, bundle.init_state
     state = init_state(jax.random.key(0))
 
     hr = jax.random.uniform(jax.random.key(2), (TRAIN_BATCH, 128, 128, 1),
@@ -150,11 +155,13 @@ def bench_train(exp):
                             jnp.float32, 0.0, 255.0)
     rng = jax.random.key(4)
 
-    # analytic: fwd 63 GFLOP/img, bwd ~2x fwd, +1 extra fwd from RDG remat
+    # analytic: fwd 63 GFLOP/img, bwd ~2x fwd, +1 fwd of recompute (XLA remat
+    # on the plain path; in-kernel flash-style recompute on the fused path —
+    # same 4x either way, so MFU is comparable across paths)
     # (XLA cost analysis under-counts lax.scan bodies, so not usable here)
     step_flops = TRAIN_BATCH * 63e9 * 4.0
 
-    @jax.jit
+    @functools.partial(jax.jit, compiler_options=bundle.compiler_options)
     def loop(state, lr, hr):
         def body(carry, i):
             st, l = carry
