@@ -623,8 +623,15 @@ def _rdg_kernel_impl(x_ref, *refs, h, w, win, imgs, chains, cs, cps, nhs,
                 # deduplicated term across all windows (no mask)
                 ja = 0 if shifts[k] == 0 else (j % npair_img)
                 for hh in range(nh):
-                    q = qkv_scr[rows, hh * hd:hh * hd + hd]
-                    kk = qkv_scr[rows, c + hh * hd:c + hh * hd + hd]
+                    if _PROBE == "aligned0":
+                        # timing-only: per-head q/k slices at lane offset 0
+                        # (same width) — sizes the relayout cost of the
+                        # unaligned offsets hh*hd (30, 60, ...)
+                        q = qkv_scr[rows, 0:hd]
+                        kk = qkv_scr[rows, 0:hd]
+                    else:
+                        q = qkv_scr[rows, hh * hd:hh * hd + hd]
+                        kk = qkv_scr[rows, c + hh * hd:c + hh * hd + hd]
                     arow = slice((ja * nh + hh) * gn, (ja * nh + hh + 1) * gn)
                     srow = slice(so + (j * nh + hh) * gn,
                                  so + (j * nh + hh + 1) * gn)
@@ -642,7 +649,11 @@ def _rdg_kernel_impl(x_ref, *refs, h, w, win, imgs, chains, cs, cps, nhs,
                         # remaining VPU block). exp2 (native pow2) when
                         # log2(e) was pre-folded into the packed weights.
                         s = jnp.exp2(s) if _EXP2 else jnp.exp(s)
-                        s = s * (1.0 / jnp.sum(s, axis=-1, keepdims=True))
+                        if _PROBE != "nosum":
+                            # "nosum" (timing-only): skip the cross-lane
+                            # rowsum reduction + recip-multiply to size the
+                            # normalisation's share of the VPU budget
+                            s = s * (1.0 / jnp.sum(s, axis=-1, keepdims=True))
                     scores_scr[srow, :] = s
             # phase 2 (f32/stable path only): ONE stabilised-softmax sweep
             # over every score tile (a_ref is pre-flattened [npair*nh*gn, gn]);
@@ -659,8 +670,11 @@ def _rdg_kernel_impl(x_ref, *refs, h, w, win, imgs, chains, cs, cps, nhs,
             # row-order invariant, so no scatter back to raster order.
             for j in range(npair):
                 for hh in range(nh):
-                    v = qkv_scr[o + j * gn:o + (j + 1) * gn,
-                                2 * c + hh * hd:2 * c + hh * hd + hd]
+                    if _PROBE == "aligned0":
+                        v = qkv_scr[o + j * gn:o + (j + 1) * gn, 0:hd]
+                    else:
+                        v = qkv_scr[o + j * gn:o + (j + 1) * gn,
+                                    2 * c + hh * hd:2 * c + hh * hd + hd]
                     pj = scores_scr[so + (j * nh + hh) * gn:
                                     so + (j * nh + hh + 1) * gn, :].astype(mm)
                     ctx_scr[o + j * gn:o + (j + 1) * gn,

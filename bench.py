@@ -203,7 +203,8 @@ def bench_drn():
         def body(x, _):
             o = model.apply({"params": params}, x, deterministic=True)[-1]
             nxt = jnp.clip(
-                o.reshape(b, 32, 4, 32, 4, 1).mean(axis=(2, 4)), 0.0, 255.0)
+                o.reshape(b, 32, 4, 32, 4, 1).mean(axis=(2, 4)),
+                0.0, 255.0).astype(jnp.float32)   # bf16 model out -> f32 carry
             return nxt, jnp.sum(o)
         x, sums = lax.scan(body, x, None, length=K)
         return jnp.sum(sums)
