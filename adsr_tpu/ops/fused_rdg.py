@@ -524,7 +524,7 @@ _FOLD_ADJ = os.environ.get("ADSR_TPU_RDG_FOLD_ADJ", "1") != "0"
 
 def _rdg_kernel_impl(x_ref, *refs, h, w, win, imgs, chains, cs, cps, nhs,
                      shifts, c3ps, fps, cat_p, shift_plans,
-                     force_stable=False):
+                     force_stable=False, read_x=None, write_out=None):
     """Kernel body. refs = 5 x (wqkv, wproj, w1, w2, wadj, badj, bvec, attn)
     + (o_ref, cat_scr, qkv_scr, win_scr, ctx_scr, scores_scr).
 
@@ -532,8 +532,17 @@ def _rdg_kernel_impl(x_ref, *refs, h, w, win, imgs, chains, cs, cps, nhs,
     throughout; see the module docstring. The ``imgs`` images are row-stacked
     into ``chains`` independent chains: every row-wise op runs full-width
     over one chain's [ipc*L] rows, only the per-window attention tiles and
-    the shifted-block quadrant copies iterate per image."""
-    o_ref, cat_scr, qkv_scr, win_scr, ctx_scr, scores_scr = refs[40:]
+    the shifted-block quadrant copies iterate per image.
+
+    ``read_x(img) -> [L, c0p]`` / ``write_out(img, value_f32)`` override the
+    token source/sink (used by the single-call 12-RDG stack kernel, where
+    tokens live in a persistent scratch instead of x_ref/o_ref)."""
+    o_ref, cat_scr, qkv_scr, win_scr, ctx_scr, scores_scr = refs[40:46]
+    if read_x is None:
+        read_x = lambda img: x_ref[img]
+    if write_out is None:
+        write_out = lambda img, v: o_ref.__setitem__(
+            img, v.astype(o_ref.dtype))
     mm = x_ref.dtype
     n = win * win
     nw = (h // win) * (w // win)
@@ -547,7 +556,7 @@ def _rdg_kernel_impl(x_ref, *refs, h, w, win, imgs, chains, cs, cps, nhs,
 
     cat_scr[:, :] = jnp.zeros_like(cat_scr)
     for img in range(imgs):
-        cat_scr[img * l:(img + 1) * l, :c0p] = x_ref[img]
+        cat_scr[img * l:(img + 1) * l, :c0p] = read_x(img)
 
     def run_block(k, ch):
         (wqkv_ref, wproj_ref, w1_ref, w2_ref, wadj_ref, badj_ref,
@@ -745,9 +754,8 @@ def _rdg_kernel_impl(x_ref, *refs, h, w, win, imgs, chains, cs, cps, nhs,
             out = adj[:, :c0p] if _FOLD_ADJ else 0.2 * adj[:, :c0p]
             for img in range(ipc):
                 gi = ch * ipc + img
-                o_ref[gi] = (out[img * l:(img + 1) * l]
-                             + x_ref[gi].astype(jnp.float32)) \
-                    .astype(o_ref.dtype)
+                write_out(gi, out[img * l:(img + 1) * l]
+                          + read_x(gi).astype(jnp.float32))
 
     for k in range(5):
         for ch in range(chains):
