@@ -153,12 +153,13 @@ def fused_drct_apply(packed: Dict, cfg: DRCTModelConfig, x: jnp.ndarray,
         t = (t.reshape(b, hw, 2, q, ww, 2, q, c0p)
              .transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(b, h * w, c0p))
 
-        # static key-presence flag (see prepack_rdg_stack) — trace-safe
+        # static key-presence flags (see prepack_rdg_stack) — trace-safe
         stable = "softmax_stable" in packed
+        vext = "vext" in packed
 
         def rdg_body(t, blocks):
             return fused_rdg(t, blocks, cfg, h, w,
-                             force_stable=stable), None
+                             force_stable=stable, vext=vext), None
 
         t, _ = lax.scan(rdg_body, t, packed["blocks"])
         t = (t.reshape(b, hw, ww, 2, 2, q, q, c0p)

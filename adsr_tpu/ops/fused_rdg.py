@@ -171,9 +171,24 @@ def _rdg_group(nw: int, n: int) -> int:
 # Packing: param tree -> kernel operand arrays (once, at load time)
 # --------------------------------------------------------------------------- #
 
+def _vext_ok(c: int, nh: int, c3_p: int) -> bool:
+    """True when the ``nh`` softmax ones-columns fit in the qkv lane padding
+    (v heads re-laid out as [v_h | 1] strides of hd+1, see _pack_rdg_layer)."""
+    return 3 * c + nh <= c3_p
+
+
 def _pack_rdg_layer(layer_params: Dict, cfg: DRCTModelConfig,
-                    h: int, w: int, dtype) -> List[Dict[str, jnp.ndarray]]:
-    """One RDG's params -> 5 operand dicts (vmapped over the 12-layer axis)."""
+                    h: int, w: int, dtype,
+                    vext: bool = False) -> List[Dict[str, jnp.ndarray]]:
+    """One RDG's params -> 5 operand dicts (vmapped over the 12-layer axis).
+
+    ``vext`` (serving flash-attention path only): re-lay out the v heads of
+    the packed qkv as contiguous [v_h | 1] slabs of stride hd+1 — the extra
+    all-ones column per head comes from a zero weight column with bias 1, so
+    the kernel's ctx matmul ``p @ [v_h | 1]`` emits the softmax row-sum in
+    lanes the MXU pads anyway, and no cross-lane reduction ever runs. The
+    nh extra columns fit inside the existing c3_p padding for every DRCT
+    block geometry (checked per block by _vext_ok; no-op where they don't)."""
     g = rdg_geometry(cfg)
     win = cfg.window_size
     d, gc = cfg.embed_dim, cfg.gc
@@ -187,6 +202,20 @@ def _pack_rdg_layer(layer_params: Dict, cfg: DRCTModelConfig,
         pk = pack_swin_weights_jnp(layer_params[f"swin{k+1}"], c, nh, win,
                                    dtype=dtype)
         bias = pk.pop("bias")
+        hd = c // nh
+        if vext and _vext_ok(c, nh, pk["wqkv"].shape[1]):
+            # v heads -> [v_h | 1] slabs at stride hd+1 (ones col = zero
+            # weights + bias 1; later LN-affine fold adds bl @ W per column,
+            # zero for the ones column, so the 1.0 survives the fold)
+            w0, b0 = pk["wqkv"], pk["bqkv"]
+            vcols, vb = w0[:, 2 * c:3 * c], b0[:, 2 * c:3 * c]
+            for hh in range(nh):
+                dst = 2 * c + hh * (hd + 1)
+                w0 = w0.at[:, dst:dst + hd].set(vcols[:, hh * hd:(hh + 1) * hd])
+                w0 = w0.at[:, dst + hd].set(0.0)
+                b0 = b0.at[:, dst:dst + hd].set(vb[:, hh * hd:(hh + 1) * hd])
+                b0 = b0.at[:, dst + hd].set(1.0)
+            pk["wqkv"], pk["bqkv"] = w0, b0
         # fold the 1/sqrt(hd) query scale into the q columns of wqkv/bqkv so
         # the kernel's score matmul needs no extra VPU multiply. (On the bf16
         # serving path the softmax runs as exp2 with log2(e) additionally
@@ -334,10 +363,12 @@ def prepack_rdg_stack(params: Dict, cfg: DRCTModelConfig, h: int, w: int,
     back to the stabilised softmax path ('softmax_stable': True)."""
     assert cfg.scan_layers, "fused forward expects the scan-stacked layout"
     rdg = params["rdgs"]["rdg"]
+    vext = _FLASH and dtype == jnp.bfloat16
 
     def _build(rdg_tree):
         blocks = [dict(b) for b in jax.vmap(
-            lambda layer: _pack_rdg_layer(layer, cfg, h, w, dtype))(rdg_tree)]
+            lambda layer: _pack_rdg_layer(layer, cfg, h, w, dtype,
+                                          vext=vext))(rdg_tree)]
         bound = (_score_bound(blocks, cfg) if dtype == jnp.bfloat16
                  else jnp.asarray(0.0, jnp.float32))
         if _FOLD_ADJ:
@@ -400,6 +431,10 @@ def prepack_rdg_stack(params: Dict, cfg: DRCTModelConfig, h: int, w: int,
     out = {"blocks": blocks, "head": head}
     if stable:
         out["softmax_stable"] = ()
+    if vext:
+        # key-presence flag (trace-static): the packed qkv v-lanes use the
+        # [v_h | 1] stride-(hd+1) layout — the kernel must read v accordingly
+        out["vext"] = ()
     return out
 
 
@@ -409,7 +444,8 @@ def prepack_rdg_stack(params: Dict, cfg: DRCTModelConfig, h: int, w: int,
 
 def fused_rdg(x: jnp.ndarray, blocks: List[Dict[str, jnp.ndarray]],
               cfg: DRCTModelConfig, h: int, w: int,
-              force_stable: bool = False) -> jnp.ndarray:
+              force_stable: bool = False,
+              vext: bool = False) -> jnp.ndarray:
     """x: [B, L, c_p0] tokens IN SHIFT-0 QUADRANT-MAJOR WINDOW ORDER ->
     same shape/order.
 
@@ -468,11 +504,17 @@ def fused_rdg(x: jnp.ndarray, blocks: List[Dict[str, jnp.ndarray]],
                      blk["wadj"], blk["badj"], blk["bvec"], blk["attn"]]
 
     group = _rdg_group(nw, n)
+    # flash path: per-tile score->exp->ctx with the ones-column rowsum (the
+    # packed v lanes carry it, see _pack_rdg_layer) — no score scratch at all
+    # when every block takes it
+    flash_all = (vext and x.dtype == jnp.bfloat16 and not force_stable
+                 and all(_vext_ok(c, nh, c3p) for c, nh, c3p
+                         in zip(g["feats"], g["heads"], c3ps)))
     kernel = functools.partial(
         _rdg_kernel_impl, h=h, w=w, win=win, imgs=imgs, chains=chains,
         cs=g["feats"], cps=g["cps"], nhs=g["heads"], shifts=g["shifts"],
         c3ps=c3ps, fps=fps, cat_p=cat_p, shift_plans=shift_plans,
-        force_stable=force_stable)
+        force_stable=force_stable, vext=vext)
 
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
@@ -489,7 +531,8 @@ def fused_rdg(x: jnp.ndarray, blocks: List[Dict[str, jnp.ndarray]],
             pltpu.VMEM((imgs * l, max(c3ps)), x.dtype),    # qkv rows
             pltpu.VMEM((imgs * l, max(g["cps"])), x.dtype),  # shifted input
             pltpu.VMEM((imgs * l, max(g["cps"])), x.dtype),  # attn context
-            pltpu.VMEM((imgs * l * max(g["heads"]), group * n),
+            pltpu.VMEM((8, 128) if flash_all else
+                       (imgs * l * max(g["heads"]), group * n),
                        jnp.float32),                       # score tiles
         ],
         compiler_params=(pltpu.CompilerParams(
@@ -520,11 +563,27 @@ _LOG2E = 1.4426950408889634
 # fold W2@Wadj at pack time (see _fold_adjust_into_mlp;
 # ADSR_TPU_RDG_FOLD_ADJ=0 opts out — pack and kernel read the same flag)
 _FOLD_ADJ = os.environ.get("ADSR_TPU_RDG_FOLD_ADJ", "1") != "0"
+# flash-style serving attention: score matmul -> exp2 -> ctx matmul fused per
+# (pair, head) tile, with the softmax row-sum emitted by the ctx matmul via
+# an all-ones v column packed into the existing qkv lane padding
+# (_pack_rdg_layer vext) — no cross-lane reduction, no [gn, gn] normalisation
+# sweep, no score-scratch traffic. bf16 serving path only
+# (ADSR_TPU_RDG_FLASH=0 opts out; pack and wrapper coordinate via the packed
+# tree's 'vext' key so a stale flag cannot desync the layouts).
+_FLASH = os.environ.get("ADSR_TPU_RDG_FLASH", "1") != "0"
+# roll the per-image loops (attention tiles + shift copies) into a
+# lax.fori_loop when a program holds more than this many images per chain —
+# keeps the Mosaic instruction count constant in ``imgs`` so deep image
+# interleaves stay compileable (the fully unrolled imgs=8 form measured
+# >70 min of Mosaic compile). Below the threshold the loops unroll as
+# before, preserving cross-tile scheduling freedom.
+_ROLL_AT = int(os.environ.get("ADSR_TPU_RDG_ROLL_AT", "8"))
 
 
 def _rdg_kernel_impl(x_ref, *refs, h, w, win, imgs, chains, cs, cps, nhs,
                      shifts, c3ps, fps, cat_p, shift_plans,
-                     force_stable=False, read_x=None, write_out=None):
+                     force_stable=False, vext=False,
+                     read_x=None, write_out=None):
     """Kernel body. refs = 5 x (wqkv, wproj, w1, w2, wadj, badj, bvec, attn)
     + (o_ref, cat_scr, qkv_scr, win_scr, ctx_scr, scores_scr).
 
@@ -579,11 +638,18 @@ def _rdg_kernel_impl(x_ref, *refs, h, w, win, imgs, chains, cs, cps, nhs,
             # whole-quadrant contiguous block copies (nw*4 per image, see
             # _quadrant_perm) — [L, c_p] instead of the [L, 3c_p] qkv gather
             # of the raster-resident layout
-            for img in range(ipc):
-                ib = o + img * l
+            def gather_img(ib):
                 for dst, src, width in plan:
-                    win_scr[ib + dst:ib + dst + width, :c_p] = \
-                        cat_scr[ib + src:ib + src + width, :c_p]
+                    win_scr[pl.ds(ib + dst, width), :c_p] = \
+                        cat_scr[pl.ds(ib + src, width), :c_p]
+
+            if ipc >= _ROLL_AT:
+                lax.fori_loop(0, ipc,
+                              lambda i, cy: (gather_img(o + i * l), cy)[1],
+                              jnp.int32(0))
+            else:
+                for img in range(ipc):
+                    gather_img(o + img * l)
             x = win_scr[o:o + cl, :c_p].astype(jnp.float32)
 
         def layer_norm(t, c=c):
@@ -626,7 +692,50 @@ def _rdg_kernel_impl(x_ref, *refs, h, w, win, imgs, chains, cs, cps, nhs,
             # mask rows still exp to exactly 0. The f32 path keeps the
             # stabilised form in phase 2.
             stable = (mm != jnp.bfloat16) or force_stable
-            for j in range(npair):
+            # serving flash path: score matmul -> exp2 -> ctx matmul fused
+            # per (pair, head) tile. The packed v lanes are [v_h | 1] slabs
+            # (stride hd+1, _pack_rdg_layer vext), so the ctx matmul's last
+            # column IS the softmax row-sum — normalisation is a [gn, hd]
+            # recip-multiply, with no cross-lane reduction, no [gn, gn]
+            # sweep, and no score-scratch store/load at all.
+            use_vext = vext and _vext_ok(c, nh, c3_p)
+            flash = use_vext and not stable
+            if flash:
+                def flash_img(base):
+                    # base: row offset of one image's tokens — a python int
+                    # (unrolled) or a traced int32 (rolled); pair tiles never
+                    # span images (npair_img * gn == l)
+                    for j in range(npair_img):
+                        ja = 0 if shifts[k] == 0 else j
+                        rows = pl.ds(base + j * gn, gn)
+                        for hh in range(nh):
+                            q = qkv_scr[rows, hh * hd:hh * hd + hd]
+                            kk = qkv_scr[rows, c + hh * hd:c + hh * hd + hd]
+                            arow = slice((ja * nh + hh) * gn,
+                                         (ja * nh + hh + 1) * gn)
+                            s = jnp.dot(q, kk.T,
+                                        preferred_element_type=jnp.float32) \
+                                + a_ref[arow, :]
+                            if _PROBE != "nosoftmax":
+                                s = jnp.exp2(s) if _EXP2 else jnp.exp(s)
+                            p = s.astype(mm)
+                            vo = 2 * c + hh * (hd + 1)
+                            ve = qkv_scr[rows, vo:vo + hd + 1]
+                            cu = jnp.dot(p, ve,
+                                         preferred_element_type=jnp.float32)
+                            ctx = cu[:, :hd] * (1.0 / cu[:, hd:hd + 1])
+                            ctx_scr[rows, hh * hd:(hh + 1) * hd] = \
+                                ctx.astype(ctx_scr.dtype)
+
+                if ipc >= _ROLL_AT:
+                    lax.fori_loop(
+                        0, ipc,
+                        lambda i, cy: (flash_img(o + i * l), cy)[1],
+                        jnp.int32(0))
+                else:
+                    for img in range(ipc):
+                        flash_img(o + img * l)
+            for j in range(0 if flash else npair):
                 rows = slice(o + j * gn, o + (j + 1) * gn)
                 # additive term: repeats per image; shift-0 blocks share ONE
                 # deduplicated term across all windows (no mask)
@@ -677,13 +786,14 @@ def _rdg_kernel_impl(x_ref, *refs, h, w, win, imgs, chains, cs, cps, nhs,
             # phase 3: all context matmuls back-to-back (MXU). The context
             # stays in this block's window order — proj/MLP/adjust are all
             # row-order invariant, so no scatter back to raster order.
-            for j in range(npair):
+            for j in range(0 if flash else npair):
                 for hh in range(nh):
+                    vo = 2 * c + hh * (hd + 1 if use_vext else hd)
                     if _PROBE == "aligned0":
                         v = qkv_scr[o + j * gn:o + (j + 1) * gn, 0:hd]
                     else:
                         v = qkv_scr[o + j * gn:o + (j + 1) * gn,
-                                    2 * c + hh * hd:2 * c + hh * hd + hd]
+                                    vo:vo + hd]
                     pj = scores_scr[so + (j * nh + hh) * gn:
                                     so + (j * nh + hh + 1) * gn, :].astype(mm)
                     ctx_scr[o + j * gn:o + (j + 1) * gn,
@@ -740,12 +850,29 @@ def _rdg_kernel_impl(x_ref, *refs, h, w, win, imgs, chains, cs, cps, nhs,
                 # full-sweep add into the concat buffer — bijective copy,
                 # so no zeroing and no per-run read-modify-write
                 aw = adj.shape[1]
-                for img in range(ipc):
-                    ib = o + img * l
-                    for dst, src, width in plan:
-                        win_scr[ib + src:ib + src + width, :aw] = \
-                            adj[img * l + dst:img * l + dst + width] \
-                            .astype(win_scr.dtype)
+                if ipc >= _ROLL_AT:
+                    # stage adj in the (free at this point) qkv scratch so
+                    # the rolled copy loop is ref->ref: Mosaic lowers dynamic
+                    # offsets on refs (pl.ds) but has no lowering for
+                    # dynamic_slice on values
+                    qkv_scr[o:o + cl, :aw] = adj.astype(qkv_scr.dtype)
+
+                    def scatter_img(ib):
+                        for dst, src, width in plan:
+                            win_scr[pl.ds(ib + src, width), :aw] = \
+                                qkv_scr[pl.ds(ib + dst, width), :aw]
+
+                    lax.fori_loop(
+                        0, ipc,
+                        lambda i, cy: (scatter_img(o + i * l), cy)[1],
+                        jnp.int32(0))
+                else:
+                    adj_c = adj.astype(win_scr.dtype)
+                    for img in range(ipc):
+                        ib = o + img * l
+                        for dst, src, width in plan:
+                            win_scr[ib + src:ib + src + width, :aw] = \
+                                adj_c[img * l + dst:img * l + dst + width]
                 cat_scr[o:o + cl, base:] = cat_scr[o:o + cl, base:] \
                     + win_scr[o:o + cl, :aw].astype(cat_scr.dtype)
         else:

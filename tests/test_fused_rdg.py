@@ -82,13 +82,46 @@ def _bf16_setup(seed=0, batch=2):
 
 def test_rdg_bf16_serving_path_parity():
     # the bf16-only code path (unstabilised exp2 softmax with the post-hoc
-    # log2e fold, tanh gelu) vs the flax f32 oracle — the hardware serving
-    # numerics, in interpret mode (advisor round-2 low finding)
+    # log2e fold, tanh gelu, flash ones-column rowsum) vs the flax f32
+    # oracle — the hardware serving numerics, in interpret mode (advisor
+    # round-2 low finding)
     cfg, model, params, x = _bf16_setup()
     want = np.asarray(model.apply({"params": params}, x))
     packed = prepack_drct(params, cfg, cfg.img_size, cfg.img_size,
                           dtype=jnp.bfloat16, mode="rdg")
     assert "softmax_stable" not in packed  # fast path taken
+    assert "vext" in packed                # flash ones-column layout taken
+    got = np.asarray(fused_drct_apply(packed, cfg, x, dtype=jnp.bfloat16))
+    err = np.abs(got - want)
+    assert err.max() < 5.0 and err.mean() < 1.0, (err.max(), err.mean())
+
+
+def test_rdg_bf16_serving_path_parity_no_flash(monkeypatch):
+    # the pre-flash unstabilised exp2 path (taken when the ones-columns
+    # don't fit the qkv lane padding) stays covered
+    from adsr_tpu.ops import fused_rdg as mod
+
+    monkeypatch.setattr(mod, "_FLASH", False)
+    cfg, model, params, x = _bf16_setup()
+    want = np.asarray(model.apply({"params": params}, x))
+    packed = prepack_drct(params, cfg, cfg.img_size, cfg.img_size,
+                          dtype=jnp.bfloat16, mode="rdg")
+    assert "vext" not in packed
+    got = np.asarray(fused_drct_apply(packed, cfg, x, dtype=jnp.bfloat16))
+    err = np.abs(got - want)
+    assert err.max() < 5.0 and err.mean() < 1.0, (err.max(), err.mean())
+
+
+def test_rdg_bf16_rolled_image_loops(monkeypatch):
+    # deep-interleave form: per-image attention tiles and shift copies run
+    # inside lax.fori_loop (constant Mosaic instruction count in imgs)
+    from adsr_tpu.ops import fused_rdg as mod
+
+    monkeypatch.setattr(mod, "_ROLL_AT", 1)
+    cfg, model, params, x = _bf16_setup(batch=4)
+    want = np.asarray(model.apply({"params": params}, x))
+    packed = prepack_drct(params, cfg, cfg.img_size, cfg.img_size,
+                          dtype=jnp.bfloat16, mode="rdg")
     got = np.asarray(fused_drct_apply(packed, cfg, x, dtype=jnp.bfloat16))
     err = np.abs(got - want)
     assert err.max() < 5.0 and err.mean() < 1.0, (err.max(), err.mean())
