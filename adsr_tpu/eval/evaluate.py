@@ -149,7 +149,7 @@ def evaluate_anomaly(exp: Experiment, params, data_root: str,
         log(f"Tiled serving: tile={tile or train_tile} "
             f"overlap={tile_overlap} for {lr_size}px LR input")
     else:
-        forward = make_serving_forward(exp, params)
+        forward = make_serving_forward(exp, params, mesh=mesh)
     sr_g, hr_g = _forward_split(forward, exp, ds_good, batch, mesh)
     sr_b, hr_b = _forward_split(forward, exp, ds_bad, batch, mesh)
     sr_u8 = np.concatenate([sr_g, sr_b])

@@ -250,7 +250,7 @@ def make_eval_forward(exp: Experiment):
     return forward
 
 
-def make_serving_forward(exp: Experiment, params):
+def make_serving_forward(exp: Experiment, params, mesh=None):
     """Fixed-params jitted inference: LR batch -> quantized SR batch.
 
     Unlike :func:`make_eval_forward` (params change every training eval),
@@ -258,15 +258,25 @@ def make_serving_forward(exp: Experiment, params):
     weight packing + attention-bias construction ONCE (prepack_drct) instead
     of per forward — the torch reference likewise keeps weights resident
     between calls (src/drct.py:249-276). Returns ``forward(lr)``.
+
+    With a ``mesh`` whose data axes (dcn x dp) exceed one device, the fused
+    path runs under shard_map: the LR batch splits over the data axes and the
+    packed weight tree replicates — GSPMD cannot partition a Pallas custom
+    call, but batch shards are embarrassingly parallel, so each device runs
+    whole programs on its slice (the multi-chip serving analogue of the
+    reference's single-GPU eval loop, src/evaluate.py:204-227). The caller's
+    per-call batch must divide by the data-axis product.
     """
     import os
 
     from adsr_tpu.core.config import DRCTModelConfig
+    fused_flag = os.environ.get("ADSR_TPU_FUSED", "auto")
     use_fused = (
         isinstance(exp.model, DRCTModelConfig)
         and exp.model.scan_layers
-        and os.environ.get("ADSR_TPU_FUSED", "auto") != "0"
-        and jax.default_backend() not in ("cpu",)
+        and fused_flag != "0"
+        and (fused_flag == "force"  # tests: interpret mode on CPU
+             or jax.default_backend() not in ("cpu",))
     )
     if use_fused:
         from adsr_tpu.models.factory import compute_dtype
@@ -275,10 +285,22 @@ def make_serving_forward(exp: Experiment, params):
         img = exp.model.img_size
         packed = prepack_drct(params, exp.model, img, img, dtype=dtype)
 
-        @jax.jit
-        def fwd(packed, lr):
+        def body(packed, lr):
             sr = fused_drct_apply(packed, exp.model, lr, dtype=dtype)
             return quantize(sr, exp.data.rgb_range)
+
+        data_axes = tuple(a for a in ("dcn", "dp")
+                          if mesh is not None and mesh.shape.get(a, 1) > 1)
+        if data_axes:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+            spec = P(data_axes if len(data_axes) > 1 else data_axes[0])
+            fwd = jax.jit(shard_map(
+                body, mesh=mesh, in_specs=(P(), spec), out_specs=spec,
+                # Pallas custom calls defeat varying-manual-axes inference
+                check_vma=False))
+        else:
+            fwd = jax.jit(body)
 
         return lambda lr: fwd(packed, lr)
 

@@ -145,6 +145,26 @@ class TestParallelStep:
 
 
 class TestShardedEval:
+    def test_fused_serving_shard_map_matches(self, monkeypatch):
+        """The fused Pallas serving forward runs dp-sharded under shard_map
+        (GSPMD cannot partition the custom call; batch shards are
+        independent) and matches the plain XLA forward."""
+        from adsr_tpu.models.factory import init_sr_params
+        from adsr_tpu.ops import fused_rdg as frdg
+        from adsr_tpu.train.trainer import make_serving_forward
+
+        monkeypatch.setattr(frdg, "_INTERPRET", True)
+        monkeypatch.setenv("ADSR_TPU_FUSED", "force")
+        exp = tiny_exp(drct_model(), (2,), MeshConfig(dp=4, tp=2))
+        params, _ = init_sr_params(exp.model, jax.random.key(0), "fp32")
+        mesh = make_mesh(exp.mesh)
+        rng = np.random.RandomState(0)
+        lr = jnp.asarray(rng.rand(8, 8, 8, 1) * 255, jnp.float32)
+        got = np.asarray(make_serving_forward(exp, params, mesh=mesh)(lr))
+        monkeypatch.setenv("ADSR_TPU_FUSED", "0")
+        want = np.asarray(make_serving_forward(exp, params)(lr))
+        np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)
+
     def test_batch_sharded_forward_matches(self, tmp_path):
         """dp-sharded eval produces identical SR outputs to single-device."""
         from adsr_tpu.data.pipeline import SRDataset
