@@ -49,7 +49,7 @@ from jax.experimental import pallas as pl
 
 from adsr_tpu.core.config import DRCTModelConfig
 from adsr_tpu.ops.fused_rdg import (_composed_shift_plan, _pack_rdg_layer,
-                                    _rdg_group, rdg_geometry)
+                                    _rdg_group, _vext_ok, rdg_geometry)
 from adsr_tpu.ops.fused_swin_block import _HAS_PLTPU, _INTERPRET
 
 if _HAS_PLTPU:
@@ -133,7 +133,7 @@ def _geom(cfg: DRCTModelConfig, h: int, w: int):
 def _fwd_kernel(x_ref, dp_ref, *refs, h, w, win, cs, cps, nhs, shifts,
                 c3ps, fps, cat_p, shift_plans, group):
     (o_ref, cat_out) = refs[5 * _OPS_PER_BLOCK:5 * _OPS_PER_BLOCK + 2]
-    (cat_scr, qkv_scr, win_scr, ctx_scr, scores_scr) = \
+    (cat_scr, qkv_scr, win_scr, ctx_scr) = \
         refs[5 * _OPS_PER_BLOCK + 2:]
     mm_dt = x_ref.dtype
     n = win * win
@@ -173,6 +173,7 @@ def _fwd_kernel(x_ref, dp_ref, *refs, h, w, win, cs, cps, nhs, shifts,
 
         ctx_scr[:, :c_p] = jnp.zeros_like(ctx_scr[:, :c_p])
         npair = nw // group
+        use_vext = _vext_ok(c, nh, c3_p)
         for j in range(npair):
             rows = slice(j * gn, (j + 1) * gn)
             # shift-0 blocks share ONE deduplicated additive term (no mask)
@@ -181,15 +182,25 @@ def _fwd_kernel(x_ref, dp_ref, *refs, h, w, win, cs, cps, nhs, shifts,
                 q = qkv_scr[rows, hh * hd:hh * hd + hd]
                 kk = qkv_scr[rows, c + hh * hd:c + hh * hd + hd]
                 arow = slice((ja * nh + hh) * gn, (ja * nh + hh + 1) * gn)
-                srow = slice((j * nh + hh) * gn, (j * nh + hh + 1) * gn)
                 s = _mm_a_bt(q, kk) + a_ref[arow, :]
                 s = s - jnp.max(s, axis=-1, keepdims=True)
                 p = jnp.exp(s)
-                p = p / jnp.sum(p, axis=-1, keepdims=True)
-                scores_scr[srow, :] = p
-                v = qkv_scr[rows, 2 * c + hh * hd:2 * c + hh * hd + hd]
-                ctx_scr[rows, hh * hd:(hh + 1) * hd] = \
-                    _mm(p.astype(mm_dt), v).astype(ctx_scr.dtype)
+                if use_vext:
+                    # [v_h | 1] packed lanes: the ctx matmul's last column
+                    # is the softmax row-sum — normalise the [gn, hd] ctx
+                    # instead of the [gn, gn] probabilities (no cross-lane
+                    # reduction, no full-tile divide, no p store)
+                    vo = 2 * c + hh * (hd + 1)
+                    ve = qkv_scr[rows, vo:vo + hd + 1]
+                    cu = _mm(p.astype(mm_dt), ve)
+                    ctx_scr[rows, hh * hd:(hh + 1) * hd] = \
+                        (cu[:, :hd] * (1.0 / cu[:, hd:hd + 1])) \
+                        .astype(ctx_scr.dtype)
+                else:
+                    p = p / jnp.sum(p, axis=-1, keepdims=True)
+                    v = qkv_scr[rows, 2 * c + hh * hd:2 * c + hh * hd + hd]
+                    ctx_scr[rows, hh * hd:(hh + 1) * hd] = \
+                        _mm(p.astype(mm_dt), v).astype(ctx_scr.dtype)
 
         ctx = ctx_scr[:, :c_p].astype(mm_dt)
         x1 = x + m_attn * (_mm(ctx, wproj_ref[...]) + bproj)
@@ -291,6 +302,7 @@ def _bwd_kernel(dp_ref, cat_ref, g_ref, *refs, h, w, win, cs, cps,
                              + bqkv).astype(qkv_scr.dtype)
         ctx_scr[:, :c_p] = jnp.zeros_like(ctx_scr[:, :c_p])
         npair = nw // group
+        use_vext = _vext_ok(c, nh, c3_p)
         for j in range(npair):
             rows = slice(j * gn, (j + 1) * gn)
             # shift-0 blocks share ONE deduplicated additive term (no mask)
@@ -303,11 +315,24 @@ def _bwd_kernel(dp_ref, cat_ref, g_ref, *refs, h, w, win, cs, cps,
                 s = _mm_a_bt(q, kk) + a_ref[arow, :]
                 s = s - jnp.max(s, axis=-1, keepdims=True)
                 p = jnp.exp(s)
-                p = p / jnp.sum(p, axis=-1, keepdims=True)
-                scores_scr[srow, :] = p
-                v = qkv_scr[rows, 2 * c + hh * hd:2 * c + hh * hd + hd]
-                ctx_scr[rows, hh * hd:(hh + 1) * hd] = \
-                    _mm(p.astype(mm_dt), v).astype(ctx_scr.dtype)
+                if use_vext:
+                    # row-sum via the [v_h | 1] ones column (see _fwd_kernel);
+                    # the grad loops below need the NORMALISED probabilities,
+                    # so the [gn, gn] recip-multiply stays — only the
+                    # cross-lane reduction is traded for matmul padding slack
+                    vo = 2 * c + hh * (hd + 1)
+                    ve = qkv_scr[rows, vo:vo + hd + 1]
+                    cu = _mm(p.astype(mm_dt), ve)
+                    rinv = 1.0 / cu[:, hd:hd + 1]
+                    ctx_scr[rows, hh * hd:(hh + 1) * hd] = \
+                        (cu[:, :hd] * rinv).astype(ctx_scr.dtype)
+                    scores_scr[srow, :] = p * rinv
+                else:
+                    p = p / jnp.sum(p, axis=-1, keepdims=True)
+                    scores_scr[srow, :] = p
+                    v = qkv_scr[rows, 2 * c + hh * hd:2 * c + hh * hd + hd]
+                    ctx_scr[rows, hh * hd:(hh + 1) * hd] = \
+                        _mm(p.astype(mm_dt), v).astype(ctx_scr.dtype)
         ctx = ctx_scr[:, :c_p].astype(mm_dt)
         x1 = x + m_attn * (_mm(ctx, wproj_ref[...]) + bproj)
         y2, inv2 = _ln_fwd(x1, c)
@@ -367,7 +392,11 @@ def _bwd_kernel(dp_ref, cat_ref, g_ref, *refs, h, w, win, cs, cps,
                 srow = slice((j * nh + hh) * gn, (j * nh + hh + 1) * gn)
                 p = scores_scr[srow, :]
                 dctx_h = dctx[j * gn:(j + 1) * gn, hh * hd:(hh + 1) * hd]
-                v = qkv_scr[rows, 2 * c + hh * hd:2 * c + hh * hd + hd]
+                # v lanes follow the pack layout: stride hd+1 under vext
+                # (the ones column's gradient is dropped by the pack — it
+                # was built from constants — so d_scr stays zero there)
+                vo = 2 * c + hh * (hd + 1 if use_vext else hd)
+                v = qkv_scr[rows, vo:vo + hd]
                 dv = _mm_at_b(p.astype(mm_dt), dctx_h.astype(mm_dt))
                 dp = _mm_a_bt(dctx_h.astype(mm_dt), v)
                 ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
@@ -378,7 +407,7 @@ def _bwd_kernel(dp_ref, cat_ref, g_ref, *refs, h, w, win, cs, cps,
                 dk = _mm_at_b(ds.astype(mm_dt), q)
                 d_scr[rows, hh * hd:hh * hd + hd] += dq
                 d_scr[rows, c + hh * hd:c + hh * hd + hd] += dk
-                d_scr[rows, 2 * c + hh * hd:2 * c + hh * hd + hd] += dv
+                d_scr[rows, vo:vo + hd] += dv
         dqkv = d_scr[:, :c3_p]
         dwqkv_o[...] += _mm_at_b(y1.astype(mm_dt), dqkv.astype(mm_dt))
         dbqkv = jnp.sum(dqkv, axis=0, keepdims=True)
@@ -439,7 +468,6 @@ def _rdg_train_fwd_call(cfg_key, h, w, x, dp, *ops):
         nhs=g["heads"], shifts=g["shifts"], c3ps=c3ps, fps=fps,
         cat_p=cat_p, shift_plans=plans, group=group)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    max_nh = max(g["heads"])
     out, cat = pl.pallas_call(
         kernel,
         grid=(b,),
@@ -462,7 +490,6 @@ def _rdg_train_fwd_call(cfg_key, h, w, x, dp, *ops):
             pltpu.VMEM((l, max(c3ps)), x.dtype),
             pltpu.VMEM((l, max(g["cps"])), x.dtype),
             pltpu.VMEM((l, max(g["cps"])), x.dtype),
-            pltpu.VMEM((l * max_nh, group * n), jnp.float32),
         ],
         compiler_params=(pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024)
@@ -564,11 +591,14 @@ def pack_train(params: Dict, cfg: DRCTModelConfig, h: int, w: int,
                dtype=jnp.bfloat16):
     """Differentiable packing of the scan-stacked DRCT tree for the train
     kernels (no log2e fold, no score-bound check — the kernels always use
-    the stabilised softmax)."""
+    the stabilised softmax). The v heads use the [v_h | 1] ones-column
+    layout (vext) where it fits, so the kernels' ctx matmuls emit the
+    softmax row-sums for free; the ones column packs from constants, so
+    autodiff through the pack drops its (meaningless) gradient."""
     rdg = params["rdgs"]["rdg"]
 
     def pack(layer):
-        return _pack_rdg_layer(layer, cfg, h, w, dtype)
+        return _pack_rdg_layer(layer, cfg, h, w, dtype, vext=True)
 
     return jax.vmap(pack)(rdg)
 
