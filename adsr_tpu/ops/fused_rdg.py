@@ -510,6 +510,13 @@ def fused_rdg(x: jnp.ndarray, blocks: List[Dict[str, jnp.ndarray]],
     flash_all = (vext and x.dtype == jnp.bfloat16 and not force_stable
                  and all(_vext_ok(c, nh, c3p) for c, nh, c3p
                          in zip(g["feats"], g["heads"], c3ps)))
+    # deep interleaves are only compile-feasible with the flash path's rolled
+    # per-image loops; the phase-split paths unroll per (pair, head) and blow
+    # up Mosaic compile time past 4 images per program
+    while imgs > 4 and not flash_all:
+        imgs //= 2
+    while imgs % chains:
+        chains -= 1
     kernel = functools.partial(
         _rdg_kernel_impl, h=h, w=w, win=win, imgs=imgs, chains=chains,
         cs=g["feats"], cps=g["cps"], nhs=g["heads"], shifts=g["shifts"],
