@@ -81,7 +81,10 @@ class ParallelTrainer:
                  key: Optional[jax.Array] = None):
         self.exp = exp
         self.mesh = mesh if mesh is not None else make_mesh(exp.mesh)
-        self.bundle = make_train_step(exp)
+        # the bundle sees the mesh so the fused DRCT path can run under
+        # shard_map on data-parallel layouts (tp>1 falls back to the XLA
+        # model, which GSPMD partitions megatron-style)
+        self.bundle = make_train_step(exp, mesh=self.mesh)
         key = key if key is not None else jax.random.key(exp.seed)
         state = self.bundle.init_state(key)
         self.state = shard_train_state(state, self.bundle, self.mesh)

@@ -85,11 +85,18 @@ class TrainStepBundle:
         return iter((self.step, self.init_state, self.model))
 
 
-def make_train_step(exp: Experiment) -> TrainStepBundle:
+def make_train_step(exp: Experiment, mesh=None) -> TrainStepBundle:
     """Build the jitted train step for an experiment.
 
     Step signature: (state, lrs, hr, lr_rate, rng) -> (state, metrics_dict).
     `lrs` is the LR pyramid, descending scale (lrs[0] = model input).
+
+    With a ``mesh`` whose data axes shard the batch, the fused DRCT path runs
+    the whole step under shard_map (batch split over dcn×dp, params/opt state
+    replicated, gradients pmean'ed across the data axes) — GSPMD cannot
+    partition a Pallas custom call, but whole per-image RDG programs are
+    embarrassingly data-parallel. tp>1 still falls back to the XLA model,
+    which GSPMD partitions megatron-style (parallel/sharding.py).
     """
     import os
 
@@ -102,22 +109,37 @@ def make_train_step(exp: Experiment) -> TrainStepBundle:
                                exp.optim.epsilon, exp.optim.weight_decay)
     dual_weight = exp.optim.dual_weight
 
+    if mesh is not None:
+        from adsr_tpu.core.mesh import data_axes as _mesh_data_axes
+        daxes = _mesh_data_axes(mesh)
+        n_data = 1
+        for a in daxes:
+            n_data *= mesh.shape[a]
+        tp_size = mesh.shape.get("tp", 1)
+    else:
+        daxes, n_data, tp_size = (), 1, 1
+
     # fused DRCT training path: forward AND custom-VJP backward as whole-RDG
     # Pallas programs (ops/fused_rdg_train.py) — DEFAULT on TPU (measured
     # 171.8 vs 97.7 img/s / 22.0% vs 12.5% MFU on v5e, batch 16; fwd parity
     # 81.9 dB vs flax bf16 on hardware, grad parity interpret-tested);
-    # ADSR_TPU_FUSED_TRAIN=0 opts out, CPU/tests use XLA unless 'force'
+    # ADSR_TPU_FUSED_TRAIN=0 opts out, CPU/tests use XLA unless 'force'.
+    # Topology: single chip runs it under plain jit; a data-parallel mesh
+    # (tp=1) runs it under shard_map; tp>1 uses the XLA model (GSPMD
+    # partitions its channel matmuls, but not a Pallas custom call).
     fused_flag = os.environ.get("ADSR_TPU_FUSED_TRAIN", "1")
+    if fused_flag == "force":  # tests: interpret mode on CPU
+        topo_ok = mesh is None or tp_size == 1
+    else:
+        topo_ok = ((mesh is None and jax.device_count() == 1)
+                   or (mesh is not None and tp_size == 1))
     use_fused_train = (
         isinstance(exp.model, DRCTModelConfig)
         and getattr(exp.model, "scan_layers", False)
-        and (fused_flag == "force"  # tests: interpret mode on CPU
+        and (fused_flag == "force"
              or (fused_flag == "1"
-                 and jax.default_backend() not in ("cpu",)
-                 # single-chip only: GSPMD cannot partition the Pallas
-                 # custom call, so sharded meshes use the XLA model (which
-                 # partitions fine); a shard_map wrapper is future work
-                 and jax.device_count() == 1))
+                 and jax.default_backend() not in ("cpu",)))
+        and topo_ok
     )
 
     # The fused backward kernel's 41 VMEM-resident buffers (40 grad
@@ -141,37 +163,41 @@ def make_train_step(exp: Experiment) -> TrainStepBundle:
         return model.apply({"params": params}, lr0,
                            deterministic=False, rngs={"dropout": rng})
 
-    def loss_of(params, lrs, hr, rng):
-        sr = primal_forward(params["primal"], lrs[0], rng)
-        if is_dual:
-            sr_list = sr
-            n_d = len(duals)
-            sr2lr = [duals[i].apply({"params": params["duals"][i]},
-                                    sr_list[i - n_d]) for i in range(n_d)]
-            # primary: full-res vs HR + intermediates vs LR pyramid
-            loss_primary, _ = loss_fn(sr_list[-1], hr)
-            for i in range(1, len(sr_list)):
-                lp, _ = loss_fn(sr_list[i - 1 - len(sr_list)],
-                                lrs[i - len(sr_list)])
-                loss_primary = loss_primary + lp
-            loss_dual = jnp.asarray(0.0, jnp.float32)
-            for i in range(n_d):
-                ld, _ = loss_fn(sr2lr[i], lrs[i])
-                loss_dual = loss_dual + ld
-            total = loss_primary + dual_weight * loss_dual
-            return total, {"total": total, "primary": loss_primary,
-                           "dual": loss_dual}
-        total, comps = loss_fn(sr, hr)
-        metrics = {"total": total}
-        metrics.update(comps)
-        return total, metrics
+    def make_loss_of(loss_fn_):
+        def loss_of(params, lrs, hr, rng):
+            sr = primal_forward(params["primal"], lrs[0], rng)
+            if is_dual:
+                sr_list = sr
+                n_d = len(duals)
+                sr2lr = [duals[i].apply({"params": params["duals"][i]},
+                                        sr_list[i - n_d]) for i in range(n_d)]
+                # primary: full-res vs HR + intermediates vs LR pyramid
+                loss_primary, _ = loss_fn_(sr_list[-1], hr)
+                for i in range(1, len(sr_list)):
+                    lp, _ = loss_fn_(sr_list[i - 1 - len(sr_list)],
+                                     lrs[i - len(sr_list)])
+                    loss_primary = loss_primary + lp
+                loss_dual = jnp.asarray(0.0, jnp.float32)
+                for i in range(n_d):
+                    ld, _ = loss_fn_(sr2lr[i], lrs[i])
+                    loss_dual = loss_dual + ld
+                total = loss_primary + dual_weight * loss_dual
+                return total, {"total": total, "primary": loss_primary,
+                               "dual": loss_dual}
+            total, comps = loss_fn_(sr, hr)
+            metrics = {"total": total}
+            metrics.update(comps)
+            return total, metrics
+        return loss_of
 
+    loss_of = make_loss_of(loss_fn)
     skip_threshold = exp.optim.skip_threshold
 
-    def train_step_fn(state: TrainState, lrs, hr, lr_rate, rng,
-                      error_last=1e8):  # reference init value (trainer.py:126)
-        (_, metrics), grads = jax.value_and_grad(loss_of, has_aux=True)(
-            state.params, lrs, hr, rng)
+    def finish_step(state, grads, metrics, lr_rate, error_last):
+        """Optimizer update + opt-in loss-spike skip, shared by the plain and
+        the shard_map step (inside shard_map grads/metrics are already
+        pmean'ed, so every shard takes the identical update and the
+        replicated state stays replicated)."""
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         updates = jax.tree_util.tree_map(lambda u: -lr_rate * u, updates)
@@ -188,6 +214,55 @@ def make_train_step(exp: Experiment) -> TrainStepBundle:
             metrics = dict(metrics, skipped=jnp.where(ok, 0.0, 1.0))
         return TrainState(step=state.step + 1, params=params,
                           opt_state=opt_state), metrics
+
+    def train_step_fn(state: TrainState, lrs, hr, lr_rate, rng,
+                      error_last=1e8):  # reference init value (trainer.py:126)
+        (_, metrics), grads = jax.value_and_grad(loss_of, has_aux=True)(
+            state.params, lrs, hr, rng)
+        return finish_step(state, grads, metrics, lr_rate, error_last)
+
+    if use_fused_train and mesh is not None and n_data > 1:
+        # data-parallel fused path: the batch splits over (dcn×)dp, each
+        # device runs whole per-image Pallas programs on its slice, and the
+        # gradients/metrics pmean across the data axes — numerically the
+        # global-batch step (the per-shard loss is built with the LOCAL batch
+        # size so its sum/batch_size components are local means, and a pmean
+        # of equal-sized local means IS the global mean)
+        if exp.data.batch_size % n_data:
+            raise ValueError(
+                f"batch_size {exp.data.batch_size} must divide by the mesh's "
+                f"data-axis product {n_data} for the fused shard_map trainer")
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        loss_of_local = make_loss_of(make_loss(
+            exp.optim.loss, batch_size=exp.data.batch_size // n_data,
+            scale=max(exp.data.scale), rgb_range=exp.data.rgb_range))
+        def sharded_step_fn(state, lrs, hr, lr_rate, rng, error_last):
+            # distinct dropout/stochastic-depth stream per data shard
+            idx = jax.lax.axis_index(daxes[0])
+            for a in daxes[1:]:
+                idx = idx * mesh.shape[a] + jax.lax.axis_index(a)
+            (_, metrics), grads = jax.value_and_grad(
+                loss_of_local, has_aux=True)(
+                    state.params, lrs, hr, jax.random.fold_in(rng, idx))
+            grads = jax.lax.pmean(grads, daxes)
+            metrics = jax.tree_util.tree_map(
+                lambda m: jax.lax.pmean(m, daxes), metrics)
+            return finish_step(state, grads, metrics, lr_rate, error_last)
+
+        bspec = P(daxes)
+        smapped = shard_map(
+            sharded_step_fn, mesh=mesh,
+            in_specs=(P(), bspec, bspec, P(), P(), P()),
+            out_specs=(P(), P()),
+            # Pallas custom calls defeat varying-manual-axes inference
+            check_vma=False)
+
+        def train_step_fn(state, lrs, hr, lr_rate, rng,  # noqa: F811
+                          error_last=1e8):
+            return smapped(state, lrs, hr, jnp.asarray(lr_rate),
+                           rng, jnp.asarray(error_last))
 
     # compiler_options is only legal on a TOP-LEVEL jit; callers that embed
     # the step in their own jit (bench.py's chained scan, sharded wrappers)

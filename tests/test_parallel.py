@@ -144,6 +144,59 @@ class TestParallelStep:
                                        atol=1e-5)
 
 
+class TestFusedShardMapTrain:
+    @pytest.mark.slow  # two interpret-mode fused fwd+bwd compiles (~3 min)
+    def test_fused_dp_train_step_matches_single(self, monkeypatch):
+        """The fused custom-VJP train step runs under shard_map on a
+        data-parallel mesh (local-batch loss, pmean'ed grads/metrics) and
+        reproduces the single-stream fused step (num_layers=1 -> every
+        stochastic-depth rate is 0, so the per-shard rng fold is inert)."""
+        import dataclasses
+
+        from adsr_tpu.ops import fused_rdg as frdg
+        from adsr_tpu.ops import fused_rdg_train as frt
+
+        monkeypatch.setattr(frdg, "_INTERPRET", True)
+        monkeypatch.setattr(frt, "_INTERPRET", True)
+        monkeypatch.setenv("ADSR_TPU_FUSED_TRAIN", "force")
+
+        model = dataclasses.replace(drct_model(), scan_layers=True)
+        rng = np.random.RandomState(0)
+        lrs = [jnp.asarray(rng.rand(4, 8, 8, 1) * 255, jnp.float32)]
+        hr = jnp.asarray(rng.rand(4, 16, 16, 1) * 255, jnp.float32)
+
+        exp1 = tiny_exp(model, (2,), MeshConfig(dp=1, tp=1), batch=4)
+        bundle1 = make_train_step(exp1)
+        assert bundle1.use_fused_train
+        s1 = bundle1.init_state(jax.random.key(0))
+        s1, m1 = bundle1.step(s1, lrs, hr, 1e-3, jax.random.key(1))
+
+        mesh = make_mesh(MeshConfig(dp=4, tp=1), devices=jax.devices()[:4])
+        exp4 = tiny_exp(model, (2,), MeshConfig(dp=4, tp=1), batch=4)
+        tr = ParallelTrainer(exp4, mesh, key=jax.random.key(0))
+        assert tr.bundle.use_fused_train
+        m4 = tr.step(lrs, hr, 1e-3, jax.random.key(1))
+
+        assert float(m1["total"]) == pytest.approx(float(m4["total"]),
+                                                   rel=1e-5)
+        for x, y in zip(jax.tree_util.tree_leaves(s1.params),
+                        jax.tree_util.tree_leaves(tr.state.params)):
+            np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                       atol=1e-5)
+
+    def test_fused_train_falls_back_on_tp(self, monkeypatch):
+        """tp>1 cannot shard a Pallas custom call: the bundle must pick the
+        XLA model (GSPMD megatron partitioning) even when fused is forced."""
+        import dataclasses
+
+        monkeypatch.setenv("ADSR_TPU_FUSED_TRAIN", "force")
+        model = dataclasses.replace(drct_model(), scan_layers=True)
+        exp = tiny_exp(model, (2,), MeshConfig(dp=4, tp=2), batch=8)
+        mesh = make_mesh(exp.mesh)
+        bundle = make_train_step(exp, mesh=mesh)
+        assert not bundle.use_fused_train
+
+
 class TestShardedEval:
     def test_fused_serving_shard_map_matches(self, monkeypatch):
         """The fused Pallas serving forward runs dp-sharded under shard_map
