@@ -4,7 +4,24 @@ The serving kernel (ops/fused_rdg.py) is forward-only; the train step fell
 back to the XLA model at ~12.5% MFU (round-2 measurement) because every swin
 block makes ~10 HBM round trips and remat recomputes the whole forward. This
 module runs BOTH directions of each RDG (reference src/drct.py:322-396) as
-one Pallas program per (image, RDG) with the tokens VMEM-resident:
+one Pallas program per (image-group, RDG) with the tokens VMEM-resident —
+images are ROW-STACKED per program like the serving kernel's round-3
+restructure, so every row-wise op (LN, the five big matmuls, gelu,
+residuals, concat add) runs once over [imgs*L, C] and only the attention
+tiles / shift copies / per-sample drop-path scales iterate per image. The
+per-image loops roll into ``lax.fori_loop`` at deep interleaves
+(``ADSR_TPU_TRAIN_ROLL_AT``, default 3) so Mosaic compile time stays
+constant in the interleave depth; the forward defaults to 2 images
+(``ADSR_TPU_TRAIN_IMGS``) while the backward defaults to 1
+(``ADSR_TPU_TRAIN_BWD_IMGS``) because its 40 VMEM-resident f32 dW
+accumulators leave no scoped-vmem headroom for stacked token staging
+(measured OOM at 2 images; the kernels need not agree — see _train_imgs).
+Measured on hardware (115-TFLOPS day, batch 16): the full step is
+backward-dominated, so forward stacking moves it <1% (fwd imgs 1/2/4-rolled:
+171.9 / 173.0 / 158.4 img/s — the rolled loop's serialized tiles cost more
+than stacking saves), and the value of the restructure is COMPILE time:
+unrolled imgs=4 measured 25 min (fwd) / >90 min (bwd, killed) of Mosaic
+compile vs ~3 min rolled:
 
 - **forward**: same math as the serving kernel but training-grade numerics
   (stabilised softmax, exact-erf gelu, no folded log2e) plus per-sample
@@ -17,11 +34,12 @@ one Pallas program per (image, RDG) with the tokens VMEM-resident:
   cross-block recompute chain, only per-block internal recompute
   (flash-attention style: LN stats, qkv, softmax probs, gelu are rebuilt
   in VMEM from cat while walking blocks in reverse);
-- **backward**: one program per (image, RDG) recomputes block internals and
-  produces d_x plus per-RDG weight/bias/attention-term gradients, which
-  accumulate across the image grid inside the kernel (TPU grids are
-  sequential; the dW outputs keep a constant index_map so the buffers stay
-  VMEM-resident and `+=` across programs is well-defined).
+- **backward**: one program per (image-group, RDG) recomputes block
+  internals and produces d_x plus per-RDG weight/bias/attention-term
+  gradients, which accumulate across the image-group grid inside the kernel
+  (TPU grids are sequential; the dW outputs keep a constant index_map so
+  the buffers stay VMEM-resident and `+=` across programs is well-defined;
+  row-stacked images fold into the same dW matmuls for free).
 
 The custom_vjp boundary sits at the PACKED operand level: packing
 (_pack_rdg_layer — lane padding, LN-affine fold, query-scale fold,
@@ -38,6 +56,7 @@ make_rng order (statistically identical, bitwise different).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict
 
 import numpy as np
@@ -56,6 +75,27 @@ if _HAS_PLTPU:
     from jax.experimental.pallas import tpu as pltpu
 
 _OPS_PER_BLOCK = 8   # wqkv, wproj, w1, w2, wadj, badj, bvec, attn
+
+# Roll the per-image loops (attention tiles, shift copies) into a
+# lax.fori_loop at/above this many row-stacked images, keeping the Mosaic
+# instruction count constant in ``imgs`` (the fully unrolled imgs=4 backward
+# measured >90 min of Mosaic compile; the serving kernel's rolled flash
+# loops are the precedent, ops/fused_rdg.py _ROLL_AT). Below the threshold
+# the loops unroll, preserving cross-tile scheduling freedom.
+_ROLL_AT = int(os.environ.get("ADSR_TPU_TRAIN_ROLL_AT", "3"))
+
+
+def _per_image(imgs: int, body) -> None:
+    """Run ``body(img)`` for each row-stacked image — unrolled below
+    _ROLL_AT, rolled (traced ``img``) at/above it. Rolled bodies may only
+    index REFS with the dynamic image offset (pl.ds); Mosaic has no lowering
+    for dynamic_slice on values, so anything value-sliced per image must be
+    staged through a scratch ref first."""
+    if imgs < _ROLL_AT:
+        for img in range(imgs):
+            body(img)
+    else:
+        lax.fori_loop(0, imgs, lambda i, c: (body(i), c)[1], jnp.int32(0))
 
 
 # --------------------------------------------------------------------------- #
@@ -130,8 +170,21 @@ def _geom(cfg: DRCTModelConfig, h: int, w: int):
 # forward kernel
 # --------------------------------------------------------------------------- #
 
-def _fwd_kernel(x_ref, dp_ref, *refs, h, w, win, cs, cps, nhs, shifts,
+def _dp_col(dp_ref, idx, imgs, l):
+    """[imgs] per-image stochastic-depth scalars -> an [imgs*l, 1] row-block
+    multiplier column (broadcast per image, then merge the leading dims)."""
+    m = dp_ref[:, 0, idx].astype(jnp.float32).reshape(imgs, 1, 1)
+    return jnp.broadcast_to(m, (imgs, l, 1)).reshape(imgs * l, 1)
+
+
+def _fwd_kernel(x_ref, dp_ref, *refs, h, w, win, imgs, cs, cps, nhs, shifts,
                 c3ps, fps, cat_p, shift_plans, group):
+    """Each program runs ``imgs`` images ROW-STACKED (the serving kernel's
+    round-3 restructure, ops/fused_rdg.py:_rdg_kernel_impl): every row-wise
+    op (LN, the five big matmuls, gelu, residuals, concat add) runs ONCE
+    over [imgs*L, C]; only the per-window attention tiles, the shift-plan
+    copies, and the per-sample drop-path residual scales iterate per image
+    (the last as an [imgs*L, 1] multiplier column)."""
     (o_ref, cat_out) = refs[5 * _OPS_PER_BLOCK:5 * _OPS_PER_BLOCK + 2]
     (cat_scr, qkv_scr, win_scr, ctx_scr) = \
         refs[5 * _OPS_PER_BLOCK + 2:]
@@ -139,11 +192,11 @@ def _fwd_kernel(x_ref, dp_ref, *refs, h, w, win, cs, cps, nhs, shifts,
     n = win * win
     nw = (h // win) * (w // win)
     gn = group * n
-    c0p = x_ref.shape[2]
-    l = x_ref.shape[1]
+    c0p = x_ref.shape[1]          # token refs are 2-D: [imgs*L, C]
+    l = h * w
 
     cat_scr[:, :] = jnp.zeros_like(cat_scr)
-    cat_scr[:, :c0p] = x_ref[0]
+    cat_scr[:, :c0p] = x_ref[...]
 
     for k in range(5):
         (wqkv_ref, wproj_ref, w1_ref, w2_ref, wadj_ref, badj_ref,
@@ -152,14 +205,18 @@ def _fwd_kernel(x_ref, dp_ref, *refs, h, w, win, cs, cps, nhs, shifts,
         c3_p, f_p = c3ps[k], fps[k]
         hd = c // nh
         plan = shift_plans[k]
-        m_attn = dp_ref[0, 0, 2 * k]
-        m_mlp = dp_ref[0, 0, 2 * k + 1]
+        m_attn = _dp_col(dp_ref, 2 * k, imgs, l)
+        m_mlp = _dp_col(dp_ref, 2 * k + 1, imgs, l)
 
         if plan is None:
             x = cat_scr[:, :c_p].astype(jnp.float32)
         else:
-            for dst, src, width in plan:
-                win_scr[dst:dst + width, :c_p] = cat_scr[src:src + width, :c_p]
+            def gather(img):
+                ib = img * l
+                for dst, src, width in plan:
+                    win_scr[pl.ds(ib + dst, width), :c_p] = \
+                        cat_scr[pl.ds(ib + src, width), :c_p]
+            _per_image(imgs, gather)
             x = win_scr[:, :c_p].astype(jnp.float32)
 
         bqkv = bvec_ref[0:1, :c3_p]
@@ -174,34 +231,42 @@ def _fwd_kernel(x_ref, dp_ref, *refs, h, w, win, cs, cps, nhs, shifts,
         ctx_scr[:, :c_p] = jnp.zeros_like(ctx_scr[:, :c_p])
         npair = nw // group
         use_vext = _vext_ok(c, nh, c3_p)
-        for j in range(npair):
-            rows = slice(j * gn, (j + 1) * gn)
-            # shift-0 blocks share ONE deduplicated additive term (no mask)
-            ja = 0 if shifts[k] == 0 else j
-            for hh in range(nh):
-                q = qkv_scr[rows, hh * hd:hh * hd + hd]
-                kk = qkv_scr[rows, c + hh * hd:c + hh * hd + hd]
-                arow = slice((ja * nh + hh) * gn, (ja * nh + hh + 1) * gn)
-                s = _mm_a_bt(q, kk) + a_ref[arow, :]
-                s = s - jnp.max(s, axis=-1, keepdims=True)
-                p = jnp.exp(s)
-                if use_vext:
-                    # [v_h | 1] packed lanes: the ctx matmul's last column
-                    # is the softmax row-sum — normalise the [gn, hd] ctx
-                    # instead of the [gn, gn] probabilities (no cross-lane
-                    # reduction, no full-tile divide, no p store)
-                    vo = 2 * c + hh * (hd + 1)
-                    ve = qkv_scr[rows, vo:vo + hd + 1]
-                    cu = _mm(p.astype(mm_dt), ve)
-                    ctx_scr[rows, hh * hd:(hh + 1) * hd] = \
-                        (cu[:, :hd] * (1.0 / cu[:, hd:hd + 1])) \
-                        .astype(ctx_scr.dtype)
-                else:
-                    p = p / jnp.sum(p, axis=-1, keepdims=True)
-                    v = qkv_scr[rows, 2 * c + hh * hd:2 * c + hh * hd + hd]
-                    ctx_scr[rows, hh * hd:(hh + 1) * hd] = \
-                        _mm(p.astype(mm_dt), v).astype(ctx_scr.dtype)
 
+        def attn_img(img):
+            ib = img * l
+            for j in range(npair):
+                rows = pl.ds(ib + j * gn, gn)
+                # shift-0 blocks share ONE deduplicated additive term (no
+                # mask)
+                ja = 0 if shifts[k] == 0 else j
+                for hh in range(nh):
+                    q = qkv_scr[rows, hh * hd:hh * hd + hd]
+                    kk = qkv_scr[rows, c + hh * hd:c + hh * hd + hd]
+                    arow = slice((ja * nh + hh) * gn,
+                                 (ja * nh + hh + 1) * gn)
+                    s = _mm_a_bt(q, kk) + a_ref[arow, :]
+                    s = s - jnp.max(s, axis=-1, keepdims=True)
+                    p = jnp.exp(s)
+                    if use_vext:
+                        # [v_h | 1] packed lanes: the ctx matmul's last
+                        # column is the softmax row-sum — normalise the
+                        # [gn, hd] ctx instead of the [gn, gn] probabilities
+                        # (no cross-lane reduction, no full-tile divide, no
+                        # p store)
+                        vo = 2 * c + hh * (hd + 1)
+                        ve = qkv_scr[rows, vo:vo + hd + 1]
+                        cu = _mm(p.astype(mm_dt), ve)
+                        ctx_scr[rows, hh * hd:(hh + 1) * hd] = \
+                            (cu[:, :hd] * (1.0 / cu[:, hd:hd + 1])) \
+                            .astype(ctx_scr.dtype)
+                    else:
+                        p = p / jnp.sum(p, axis=-1, keepdims=True)
+                        v = qkv_scr[rows,
+                                    2 * c + hh * hd:2 * c + hh * hd + hd]
+                        ctx_scr[rows, hh * hd:(hh + 1) * hd] = \
+                            _mm(p.astype(mm_dt), v).astype(ctx_scr.dtype)
+
+        _per_image(imgs, attn_img)
         ctx = ctx_scr[:, :c_p].astype(mm_dt)
         x1 = x + m_attn * (_mm(ctx, wproj_ref[...]) + bproj)
 
@@ -218,30 +283,38 @@ def _fwd_kernel(x_ref, dp_ref, *refs, h, w, win, cs, cps, nhs, shifts,
                 cat_scr[:, base:] = cat_scr[:, base:] + adj.astype(
                     cat_scr.dtype)
             else:
+                # stage adj in qkv_scr (free after attention, same dtype as
+                # win_scr) so the rolled scatter is ref->ref
                 aw = adj.shape[1]
-                for dst, src, width in plan:
-                    win_scr[src:src + width, :aw] = \
-                        adj[dst:dst + width].astype(win_scr.dtype)
+                qkv_scr[:, :aw] = adj.astype(qkv_scr.dtype)
+
+                def scatter(img):
+                    ib = img * l
+                    for dst, src, width in plan:
+                        win_scr[pl.ds(ib + src, width), :aw] = \
+                            qkv_scr[pl.ds(ib + dst, width), :aw]
+                _per_image(imgs, scatter)
                 cat_scr[:, base:] = cat_scr[:, base:] + \
                     win_scr[:, :aw].astype(cat_scr.dtype)
         else:
-            out = 0.2 * adj[:, :c0p] + x_ref[0].astype(jnp.float32)
-            o_ref[0] = out.astype(o_ref.dtype)
-    cat_out[0] = cat_scr[...]
+            out = 0.2 * adj[:, :c0p] + x_ref[...].astype(jnp.float32)
+            o_ref[...] = out.astype(o_ref.dtype)
+    cat_out[...] = cat_scr[...]
 
 
 # --------------------------------------------------------------------------- #
 # backward kernel
 # --------------------------------------------------------------------------- #
 
-def _bwd_kernel(dp_ref, cat_ref, g_ref, *refs, h, w, win, cs, cps,
+def _bwd_kernel(dp_ref, cat_ref, g_ref, *refs, h, w, win, imgs, cs, cps,
                 nhs, shifts, c3ps, fps, cat_p, shift_plans, group):
-    """Per (image, RDG) backward. refs =
+    """Per (image-group, RDG) backward, ``imgs`` images row-stacked like
+    the forward. refs =
     5 x operand refs, then outputs:
-      dx_ref [1, L, c0p],
+      dx_ref [imgs, L, c0p],
       5 x (dwqkv, dwproj, dw1, dw2, dwadj, dbvec, dbadj, dattn)  (f32, accum)
     then scratches:
-      dcat_scr [L, cat_p] f32, qkv_scr, win_scr f32, ctx_scr,
+      dcat_scr [imgs*L, cat_p] f32, qkv_scr, win_scr f32, ctx_scr,
       scores_scr f32, d_scr f32 (dqkv temp)
     """
     ops = refs[:5 * _OPS_PER_BLOCK]
@@ -254,8 +327,9 @@ def _bwd_kernel(dp_ref, cat_ref, g_ref, *refs, h, w, win, cs, cps,
     n = win * win
     nw = (h // win) * (w // win)
     gn = group * n
-    c0p = g_ref.shape[2]
-    l = g_ref.shape[1]
+    c0p = g_ref.shape[1]          # token refs are 2-D: [imgs*L, C]
+    l = h * w
+    smax = l * max(nhs)       # score-scratch rows per image
     first = pl.program_id(0) == 0
 
     # zero-init the accumulated gradient outputs on the first program
@@ -266,7 +340,7 @@ def _bwd_kernel(dp_ref, cat_ref, g_ref, *refs, h, w, win, cs, cps,
 
     # d_cat starts as d_out into the x_in columns (out = 0.2*adj4 + x_in)
     dcat_scr[:, :] = jnp.zeros_like(dcat_scr)
-    g0 = g_ref[0].astype(jnp.float32)
+    g0 = g_ref[...].astype(jnp.float32)
 
     for k in range(4, -1, -1):
         (wqkv_ref, wproj_ref, w1_ref, w2_ref, wadj_ref, badj_ref,
@@ -277,8 +351,8 @@ def _bwd_kernel(dp_ref, cat_ref, g_ref, *refs, h, w, win, cs, cps,
         c3_p, f_p = c3ps[k], fps[k]
         hd = c // nh
         plan = shift_plans[k]
-        m_attn = dp_ref[0, 0, 2 * k]
-        m_mlp = dp_ref[0, 0, 2 * k + 1]
+        m_attn = _dp_col(dp_ref, 2 * k, imgs, l)
+        m_mlp = _dp_col(dp_ref, 2 * k + 1, imgs, l)
         bqkv = bvec_ref[0:1, :c3_p]
         b1 = bvec_ref[2:3, :f_p]
         b2 = bvec_ref[3:4, :c_p]
@@ -291,11 +365,15 @@ def _bwd_kernel(dp_ref, cat_ref, g_ref, *refs, h, w, win, cs, cps,
         cmask = (lax.broadcasted_iota(jnp.int32, (1, c_p), 1) < c) \
             .astype(jnp.float32)
         if plan is None:
-            x = cat_ref[0, :, :c_p].astype(jnp.float32) * cmask
+            x = cat_ref[:, :c_p].astype(jnp.float32) * cmask
         else:
-            for dst, src, width in plan:
-                win_scr[dst:dst + width, :c_p] = \
-                    cat_ref[0, src:src + width, :c_p].astype(win_scr.dtype)
+            def gather(img):
+                ib = img * l
+                for dst, src, width in plan:
+                    win_scr[pl.ds(ib + dst, width), :c_p] = \
+                        cat_ref[pl.ds(ib + src, width), :c_p] \
+                        .astype(win_scr.dtype)
+            _per_image(imgs, gather)
             x = win_scr[:, :c_p].astype(jnp.float32) * cmask
         y1, inv1 = _ln_fwd(x, c)
         qkv_scr[:, :c3_p] = (_mm(y1.astype(mm_dt), wqkv_ref[...])
@@ -303,36 +381,44 @@ def _bwd_kernel(dp_ref, cat_ref, g_ref, *refs, h, w, win, cs, cps,
         ctx_scr[:, :c_p] = jnp.zeros_like(ctx_scr[:, :c_p])
         npair = nw // group
         use_vext = _vext_ok(c, nh, c3_p)
-        for j in range(npair):
-            rows = slice(j * gn, (j + 1) * gn)
-            # shift-0 blocks share ONE deduplicated additive term (no mask)
-            ja = 0 if shifts[k] == 0 else j
-            for hh in range(nh):
-                q = qkv_scr[rows, hh * hd:hh * hd + hd]
-                kk = qkv_scr[rows, c + hh * hd:c + hh * hd + hd]
-                arow = slice((ja * nh + hh) * gn, (ja * nh + hh + 1) * gn)
-                srow = slice((j * nh + hh) * gn, (j * nh + hh + 1) * gn)
-                s = _mm_a_bt(q, kk) + a_ref[arow, :]
-                s = s - jnp.max(s, axis=-1, keepdims=True)
-                p = jnp.exp(s)
-                if use_vext:
-                    # row-sum via the [v_h | 1] ones column (see _fwd_kernel);
-                    # the grad loops below need the NORMALISED probabilities,
-                    # so the [gn, gn] recip-multiply stays — only the
-                    # cross-lane reduction is traded for matmul padding slack
-                    vo = 2 * c + hh * (hd + 1)
-                    ve = qkv_scr[rows, vo:vo + hd + 1]
-                    cu = _mm(p.astype(mm_dt), ve)
-                    rinv = 1.0 / cu[:, hd:hd + 1]
-                    ctx_scr[rows, hh * hd:(hh + 1) * hd] = \
-                        (cu[:, :hd] * rinv).astype(ctx_scr.dtype)
-                    scores_scr[srow, :] = p * rinv
-                else:
-                    p = p / jnp.sum(p, axis=-1, keepdims=True)
-                    scores_scr[srow, :] = p
-                    v = qkv_scr[rows, 2 * c + hh * hd:2 * c + hh * hd + hd]
-                    ctx_scr[rows, hh * hd:(hh + 1) * hd] = \
-                        _mm(p.astype(mm_dt), v).astype(ctx_scr.dtype)
+        def attn_rec(img):
+            ib = img * l
+            sb = img * smax
+            for j in range(npair):
+                rows = pl.ds(ib + j * gn, gn)
+                # shift-0 blocks share ONE deduplicated additive term
+                ja = 0 if shifts[k] == 0 else j
+                for hh in range(nh):
+                    q = qkv_scr[rows, hh * hd:hh * hd + hd]
+                    kk = qkv_scr[rows, c + hh * hd:c + hh * hd + hd]
+                    arow = slice((ja * nh + hh) * gn,
+                                 (ja * nh + hh + 1) * gn)
+                    srow = pl.ds(sb + (j * nh + hh) * gn, gn)
+                    s = _mm_a_bt(q, kk) + a_ref[arow, :]
+                    s = s - jnp.max(s, axis=-1, keepdims=True)
+                    p = jnp.exp(s)
+                    if use_vext:
+                        # row-sum via the [v_h | 1] ones column (see
+                        # _fwd_kernel); the grad loops below need the
+                        # NORMALISED probabilities, so the [gn, gn]
+                        # recip-multiply stays — only the cross-lane
+                        # reduction is traded for matmul padding slack
+                        vo = 2 * c + hh * (hd + 1)
+                        ve = qkv_scr[rows, vo:vo + hd + 1]
+                        cu = _mm(p.astype(mm_dt), ve)
+                        rinv = 1.0 / cu[:, hd:hd + 1]
+                        ctx_scr[rows, hh * hd:(hh + 1) * hd] = \
+                            (cu[:, :hd] * rinv).astype(ctx_scr.dtype)
+                        scores_scr[srow, :] = p * rinv
+                    else:
+                        p = p / jnp.sum(p, axis=-1, keepdims=True)
+                        scores_scr[srow, :] = p
+                        v = qkv_scr[rows,
+                                    2 * c + hh * hd:2 * c + hh * hd + hd]
+                        ctx_scr[rows, hh * hd:(hh + 1) * hd] = \
+                            _mm(p.astype(mm_dt), v).astype(ctx_scr.dtype)
+
+        _per_image(imgs, attn_rec)
         ctx = ctx_scr[:, :c_p].astype(mm_dt)
         x1 = x + m_attn * (_mm(ctx, wproj_ref[...]) + bproj)
         y2, inv2 = _ln_fwd(x1, c)
@@ -353,9 +439,13 @@ def _bwd_kernel(dp_ref, cat_ref, g_ref, *refs, h, w, win, cs, cps,
             else:
                 # the fwd scattered adj (shifted->shift0); gather the grad
                 # back (shift0->shifted) with the same plan
-                for dst, src, width in plan:
-                    win_scr[dst:dst + width, :aw] = \
-                        dcat_scr[src:src + width, cb:].astype(win_scr.dtype)
+                def dadj_gather(img):
+                    ib = img * l
+                    for dst, src, width in plan:
+                        win_scr[pl.ds(ib + dst, width), :aw] = \
+                            dcat_scr[pl.ds(ib + src, width), cb:] \
+                            .astype(win_scr.dtype)
+                _per_image(imgs, dadj_gather)
                 dadj_cols = win_scr[:, :aw]
             # recompute adj pre-activation sign for the leaky-relu grad
             adj_pre = _mm(x2.astype(mm_dt), wadj_ref[...]) + badj_ref[0]
@@ -380,34 +470,46 @@ def _bwd_kernel(dp_ref, cat_ref, g_ref, *refs, h, w, win, cs, cps,
         dctx = _mm_a_bt(dattn_br.astype(mm_dt), wproj_ref[...])
         dwproj_o[...] += _mm_at_b(ctx, dattn_br.astype(mm_dt))
         dbproj = jnp.sum(dattn_br, axis=0, keepdims=True)
-        # per-(pair, head) attention grads; dqkv assembled in d_scr
+        # per-(image, pair, head) attention grads; dqkv assembled in d_scr.
+        # dctx is staged in win_scr (f32, free after the dadj gather) so the
+        # rolled per-image loop reads it ref-indexed
         d_scr[:, :c3_p] = jnp.zeros_like(d_scr[:, :c3_p])
-        for j in range(npair):
-            rows = slice(j * gn, (j + 1) * gn)
-            # dattn accumulates over pairs for shift-0 blocks (their term is
-            # broadcast over windows, so its gradient is the pair sum)
-            ja = 0 if shifts[k] == 0 else j
-            for hh in range(nh):
-                arow = slice((ja * nh + hh) * gn, (ja * nh + hh + 1) * gn)
-                srow = slice((j * nh + hh) * gn, (j * nh + hh + 1) * gn)
-                p = scores_scr[srow, :]
-                dctx_h = dctx[j * gn:(j + 1) * gn, hh * hd:(hh + 1) * hd]
-                # v lanes follow the pack layout: stride hd+1 under vext
-                # (the ones column's gradient is dropped by the pack — it
-                # was built from constants — so d_scr stays zero there)
-                vo = 2 * c + hh * (hd + 1 if use_vext else hd)
-                v = qkv_scr[rows, vo:vo + hd]
-                dv = _mm_at_b(p.astype(mm_dt), dctx_h.astype(mm_dt))
-                dp = _mm_a_bt(dctx_h.astype(mm_dt), v)
-                ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-                dattn_o[arow, :] += ds
-                q = qkv_scr[rows, hh * hd:hh * hd + hd]
-                kk = qkv_scr[rows, c + hh * hd:c + hh * hd + hd]
-                dq = _mm(ds.astype(mm_dt), kk)
-                dk = _mm_at_b(ds.astype(mm_dt), q)
-                d_scr[rows, hh * hd:hh * hd + hd] += dq
-                d_scr[rows, c + hh * hd:c + hh * hd + hd] += dk
-                d_scr[rows, vo:vo + hd] += dv
+        win_scr[:, :c_p] = dctx
+
+        def attn_grad(img):
+            ib = img * l
+            sb = img * smax
+            for j in range(npair):
+                rows = pl.ds(ib + j * gn, gn)
+                # dattn accumulates over pairs for shift-0 blocks (their
+                # term is broadcast over windows, so its gradient is the
+                # pair sum) — and over images always
+                ja = 0 if shifts[k] == 0 else j
+                for hh in range(nh):
+                    arow = slice((ja * nh + hh) * gn,
+                                 (ja * nh + hh + 1) * gn)
+                    srow = pl.ds(sb + (j * nh + hh) * gn, gn)
+                    p = scores_scr[srow, :]
+                    dctx_h = win_scr[rows, hh * hd:(hh + 1) * hd]
+                    # v lanes follow the pack layout: stride hd+1 under vext
+                    # (the ones column's gradient is dropped by the pack —
+                    # it was built from constants — so d_scr stays zero
+                    # there)
+                    vo = 2 * c + hh * (hd + 1 if use_vext else hd)
+                    v = qkv_scr[rows, vo:vo + hd]
+                    dv = _mm_at_b(p.astype(mm_dt), dctx_h.astype(mm_dt))
+                    dp = _mm_a_bt(dctx_h.astype(mm_dt), v)
+                    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+                    dattn_o[arow, :] += ds
+                    q = qkv_scr[rows, hh * hd:hh * hd + hd]
+                    kk = qkv_scr[rows, c + hh * hd:c + hh * hd + hd]
+                    dq = _mm(ds.astype(mm_dt), kk)
+                    dk = _mm_at_b(ds.astype(mm_dt), q)
+                    d_scr[rows, hh * hd:hh * hd + hd] += dq
+                    d_scr[rows, c + hh * hd:c + hh * hd + hd] += dk
+                    d_scr[rows, vo:vo + hd] += dv
+
+        _per_image(imgs, attn_grad)
         dqkv = d_scr[:, :c3_p]
         dwqkv_o[...] += _mm_at_b(y1.astype(mm_dt), dqkv.astype(mm_dt))
         dbqkv = jnp.sum(dqkv, axis=0, keepdims=True)
@@ -427,10 +529,16 @@ def _bwd_kernel(dp_ref, cat_ref, g_ref, *refs, h, w, win, cs, cps,
         if plan is None:
             dcat_scr[:, :c_p] = dcat_scr[:, :c_p] + d_x0
         else:
-            # stage back to shift-0 order (bijective plan), then add
-            for dst, src, width in plan:
-                win_scr[src:src + width, :c_p] = \
-                    d_x0[dst:dst + width].astype(win_scr.dtype)
+            # stage in d_scr (f32, free once dqkv is extracted) so the
+            # rolled shift0-order scatter into win_scr is ref->ref
+            d_scr[:, :c_p] = d_x0
+
+            def scat(img):
+                ib = img * l
+                for dst, src, width in plan:
+                    win_scr[pl.ds(ib + src, width), :c_p] = \
+                        d_scr[pl.ds(ib + dst, width), :c_p]
+            _per_image(imgs, scat)
             dcat_scr[:, :c_p] = dcat_scr[:, :c_p] + win_scr[:, :c_p]
 
     # d_x = d_cat's x_in columns + the direct out residual; pad lanes zeroed
@@ -438,7 +546,7 @@ def _bwd_kernel(dp_ref, cat_ref, g_ref, *refs, h, w, win, cs, cps,
     c0 = cs[0]
     mask0 = (lax.broadcasted_iota(jnp.int32, (1, c0p), 1) < c0) \
         .astype(jnp.float32)
-    dx_ref[0] = (dx * mask0).astype(dx_ref.dtype)
+    dx_ref[...] = (dx * mask0).astype(dx_ref.dtype)
 
 
 # --------------------------------------------------------------------------- #
@@ -455,6 +563,26 @@ def _cfg_from_key(cfg_key) -> DRCTModelConfig:
     return DRCTModelConfig(**dict(cfg_key))
 
 
+def _train_imgs(b: int, l: int, bwd: bool = False) -> int:
+    """Images row-stacked per train program. The two kernels need NOT agree
+    (the cat residual is a plain [B*L, cat_p] array either way; each kernel
+    just partitions its rows), and their budgets differ: the forward stacks
+    like the serving kernel (default 2), but the backward holds 40 f32
+    dW accumulators VMEM-resident on top of the token staging, which
+    measured scoped-vmem OOM already at 2 images — so it defaults to 1.
+    The VMEM cap keeps token scratches (which scale with imgs*l) bounded at
+    window-16/256px geometries (l = 4096 already fills it)."""
+    var = "ADSR_TPU_TRAIN_BWD_IMGS" if bwd else "ADSR_TPU_TRAIN_IMGS"
+    max_imgs = int(os.environ.get(var, "1" if bwd else "2"))
+    imgs = 1
+    for cand in (2, 4, 8):
+        if cand <= max_imgs and b % cand == 0:
+            imgs = cand
+    while imgs > 1 and imgs * l > 4096:
+        imgs //= 2
+    return imgs
+
+
 def _rdg_train_fwd_call(cfg_key, h, w, x, dp, *ops):
     cfg = _cfg_from_key(cfg_key)
     g, win, n, nw, group, plans = _geom(cfg, h, w)
@@ -462,41 +590,45 @@ def _rdg_train_fwd_call(cfg_key, h, w, x, dp, *ops):
     cat_p = g["cat_p"]
     c3ps = tuple(ops[_OPS_PER_BLOCK * k].shape[1] for k in range(5))
     fps = tuple(ops[_OPS_PER_BLOCK * k + 2].shape[1] for k in range(5))
+    imgs = _train_imgs(b, l)
 
     kernel = functools.partial(
-        _fwd_kernel, h=h, w=w, win=win, cs=g["feats"], cps=g["cps"],
-        nhs=g["heads"], shifts=g["shifts"], c3ps=c3ps, fps=fps,
-        cat_p=cat_p, shift_plans=plans, group=group)
+        _fwd_kernel, h=h, w=w, win=win, imgs=imgs, cs=g["feats"],
+        cps=g["cps"], nhs=g["heads"], shifts=g["shifts"], c3ps=c3ps,
+        fps=fps, cat_p=cat_p, shift_plans=plans, group=group)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    # token arrays enter/leave the kernels 2-D ([B*L, C], an image-group per
+    # block) so the rolled per-image loops can pl.ds-index them directly
     out, cat = pl.pallas_call(
         kernel,
-        grid=(b,),
-        in_specs=[pl.BlockSpec((1, l, c0p), lambda i: (i, 0, 0),
+        grid=(b // imgs,),
+        in_specs=[pl.BlockSpec((imgs * l, c0p), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
                   # (b, 1, 128) so the trailing block dims equal the array
                   # dims — Mosaic rejects a (1, 128) block on a (b, 128)
                   # array when b is not a multiple of 8.
-                  pl.BlockSpec((1, 1, 128), lambda i: (i, 0, 0),
+                  pl.BlockSpec((imgs, 1, 128), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)]
         + [vmem()] * len(ops),
-        out_specs=[pl.BlockSpec((1, l, c0p), lambda i: (i, 0, 0),
+        out_specs=[pl.BlockSpec((imgs * l, c0p), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, l, cat_p), lambda i: (i, 0, 0),
+                   pl.BlockSpec((imgs * l, cat_p), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)],
-        out_shape=[jax.ShapeDtypeStruct((b, l, c0p), x.dtype),
-                   jax.ShapeDtypeStruct((b, l, cat_p), x.dtype)],
+        out_shape=[jax.ShapeDtypeStruct((b * l, c0p), x.dtype),
+                   jax.ShapeDtypeStruct((b * l, cat_p), x.dtype)],
         scratch_shapes=[
-            pltpu.VMEM((l, cat_p), x.dtype),
-            pltpu.VMEM((l, max(c3ps)), x.dtype),
-            pltpu.VMEM((l, max(g["cps"])), x.dtype),
-            pltpu.VMEM((l, max(g["cps"])), x.dtype),
+            pltpu.VMEM((imgs * l, cat_p), x.dtype),
+            pltpu.VMEM((imgs * l, max(c3ps)), x.dtype),
+            pltpu.VMEM((imgs * l, max(g["cps"])), x.dtype),
+            pltpu.VMEM((imgs * l, max(g["cps"])), x.dtype),
         ],
         compiler_params=(pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024)
             if _HAS_PLTPU and not _INTERPRET else None),
         interpret=_INTERPRET,
-    )(x, jnp.pad(dp, ((0, 0), (0, 128 - dp.shape[1])))[:, None, :], *ops)
-    return out, cat
+    )(x.reshape(b * l, c0p),
+      jnp.pad(dp, ((0, 0), (0, 128 - dp.shape[1])))[:, None, :], *ops)
+    return out.reshape(b, l, c0p), cat
 
 
 def _rdg_train_fwd(cfg_key, h, w, x, dp, *ops):
@@ -508,24 +640,26 @@ def _rdg_train_bwd(cfg_key, h, w, res, g):
     dp, cat, ops = res
     cfg = _cfg_from_key(cfg_key)
     geo, win, n, nw, group, plans = _geom(cfg, h, w)
-    b, l, _ = cat.shape
+    l = h * w
+    b = cat.shape[0] // l         # cat is the fwd kernel's 2-D [B*L, cat_p]
     c0p = geo["cps"][0]
     cat_p = geo["cat_p"]
     c3ps = tuple(ops[_OPS_PER_BLOCK * k].shape[1] for k in range(5))
     fps = tuple(ops[_OPS_PER_BLOCK * k + 2].shape[1] for k in range(5))
     max_nh = max(geo["heads"])
 
+    imgs = _train_imgs(b, l, bwd=True)
     kernel = functools.partial(
-        _bwd_kernel, h=h, w=w, win=win, cs=geo["feats"], cps=geo["cps"],
-        nhs=geo["heads"], shifts=geo["shifts"], c3ps=c3ps, fps=fps,
-        cat_p=cat_p, shift_plans=plans, group=group)
+        _bwd_kernel, h=h, w=w, win=win, imgs=imgs, cs=geo["feats"],
+        cps=geo["cps"], nhs=geo["heads"], shifts=geo["shifts"], c3ps=c3ps,
+        fps=fps, cat_p=cat_p, shift_plans=plans, group=group)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     acc = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
 
     # outputs: dx per image; per-block f32 grad accumulators (constant
-    # index_map -> VMEM-resident, += across the sequential image grid)
-    out_shapes = [jax.ShapeDtypeStruct((b, l, c0p), cat.dtype)]
-    out_specs = [pl.BlockSpec((1, l, c0p), lambda i: (i, 0, 0),
+    # index_map -> VMEM-resident, += across the sequential image-group grid)
+    out_shapes = [jax.ShapeDtypeStruct((b * l, c0p), cat.dtype)]
+    out_specs = [pl.BlockSpec((imgs * l, c0p), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)]
     for kb in range(5):
         for opx, name in ((0, "wqkv"), (1, "wproj"), (2, "w1"), (3, "w2"),
@@ -536,32 +670,33 @@ def _rdg_train_bwd(cfg_key, h, w, res, g):
 
     outs = pl.pallas_call(
         kernel,
-        grid=(b,),
-        in_specs=[pl.BlockSpec((1, 1, 128), lambda i: (i, 0, 0),
+        grid=(b // imgs,),
+        in_specs=[pl.BlockSpec((imgs, 1, 128), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, l, cat_p), lambda i: (i, 0, 0),
+                  pl.BlockSpec((imgs * l, cat_p), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, l, c0p), lambda i: (i, 0, 0),
+                  pl.BlockSpec((imgs * l, c0p), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)]
         + [vmem()] * len(ops),
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[
-            pltpu.VMEM((l, cat_p), jnp.float32),            # dcat
-            pltpu.VMEM((l, max(c3ps)), cat.dtype),          # qkv recompute
-            pltpu.VMEM((l, max(geo["cps"])), jnp.float32),  # staging/gather
-            pltpu.VMEM((l, max(geo["cps"])), cat.dtype),    # ctx
-            pltpu.VMEM((l * max_nh, group * n), jnp.float32),
-            pltpu.VMEM((l, max(c3ps)), jnp.float32),        # dqkv temp
+            pltpu.VMEM((imgs * l, cat_p), jnp.float32),     # dcat
+            pltpu.VMEM((imgs * l, max(c3ps)), cat.dtype),   # qkv recompute
+            pltpu.VMEM((imgs * l, max(geo["cps"])),
+                       jnp.float32),                        # staging/gather
+            pltpu.VMEM((imgs * l, max(geo["cps"])), cat.dtype),  # ctx
+            pltpu.VMEM((imgs * l * max_nh, group * n), jnp.float32),
+            pltpu.VMEM((imgs * l, max(c3ps)), jnp.float32),  # dqkv temp
         ],
         compiler_params=(pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024)
             if _HAS_PLTPU and not _INTERPRET else None),
         interpret=_INTERPRET,
-    )(jnp.pad(dp, ((0, 0), (0, 128 - dp.shape[1])))[:, None, :], cat, g,
-      *ops)
+    )(jnp.pad(dp, ((0, 0), (0, 128 - dp.shape[1])))[:, None, :], cat,
+      g.reshape(b * l, c0p), *ops)
 
-    dx = outs[0]
+    dx = outs[0].reshape(b, l, c0p)
     dops_raw = outs[1:]
     # reorder back to (wqkv, wproj, w1, w2, wadj, badj, bvec, attn) and cast
     dops = []

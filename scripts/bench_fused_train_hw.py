@@ -78,6 +78,48 @@ def stage_parity():
           f"ref_range=[{ref.min():.1f},{ref.max():.1f}]")
 
 
+def stage_fwdonly(batch: int = 16):
+    """Training-grade fused forward ALONE (no grad, no optimizer), chained —
+    isolates the fwd kernel + head/tail share of the step so the remaining
+    time attributes to the backward kernel + loss + Adam."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    import bench
+    from adsr_tpu.models.factory import init_sr_params
+    from adsr_tpu.ops.fused_rdg_train import fused_drct_train_forward
+    from adsr_tpu.train.trainer import FUSED_TRAIN_COMPILER_OPTIONS
+
+    exp = _exp(batch)
+    params, _ = init_sr_params(exp.model, jax.random.key(0), exp.precision)
+    x = jax.random.uniform(jax.random.key(1), (batch, 32, 32, 1),
+                           jnp.float32, 0.0, 255.0)
+    rng = jax.random.key(2)
+    k = 10
+
+    @functools.partial(jax.jit,
+                       compiler_options=FUSED_TRAIN_COMPILER_OPTIONS)
+    def loop(params, x):
+        def body(x, i):
+            o = fused_drct_train_forward(
+                params, exp.model, x, rng=jax.random.fold_in(rng, i),
+                deterministic=False, dtype=jnp.bfloat16)
+            nxt = jnp.clip(
+                o.reshape(batch, 32, 4, 32, 4, 1).mean(axis=(2, 4)),
+                0.0, 255.0)
+            return nxt, jnp.sum(o)
+        x, sums = lax.scan(body, x, jnp.arange(k))
+        return jnp.sum(sums)
+
+    float(loop(params, x))
+    best, _ = bench._timed_best(lambda: float(loop(params, x)), k, 5)
+    print(f"train fwd-only batch={batch}: {batch / best:.2f} img/s "
+          f"({best * 1e3:.2f} ms/chain-iter)")
+
+
 def stage_train(fused: bool, batch: int = 16):
     os.environ["ADSR_TPU_FUSED_TRAIN"] = "1" if fused else "0"
     import bench
@@ -99,6 +141,8 @@ def main():
         stage_serving()
     elif stage == "parity":
         stage_parity()
+    elif stage == "fwdonly":
+        stage_fwdonly(batch)
     elif stage == "fused":
         stage_train(True, batch)
     elif stage == "xla":

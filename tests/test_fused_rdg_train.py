@@ -82,6 +82,53 @@ def test_train_grads_match_flax():
             err_msg=jax.tree_util.keystr(path))
 
 
+def test_train_forward_rolled_loops_match_flax(monkeypatch):
+    # deep image interleaves roll the per-image loops into lax.fori_loop
+    # (fused_rdg_train._per_image); force the rolled path at imgs=2 and
+    # assert the same forward numerics as the unrolled path's test
+    import adsr_tpu.ops.fused_rdg_train as frt
+    monkeypatch.setattr(frt, "_ROLL_AT", 1)
+    model, params, x = _setup(CFG)
+    want = np.asarray(model.apply({"params": params}, x))
+    got = np.asarray(fused_drct_train_forward(params, CFG, x,
+                                              deterministic=True,
+                                              dtype=jnp.float32))
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_train_grads_rolled_loops_match_flax(monkeypatch):
+    # gradient parity through the ROLLED per-image loops (traced image
+    # index, pl.ds ref indexing, scratch-staged dctx/d_x0) — the layout the
+    # hardware path uses at deep interleaves
+    import adsr_tpu.ops.fused_rdg_train as frt
+    monkeypatch.setattr(frt, "_ROLL_AT", 1)
+    model, params, x = _setup(CFG)
+    hr = jnp.asarray(np.random.RandomState(1).rand(*(
+        x.shape[0], x.shape[1] * CFG.upscale, x.shape[2] * CFG.upscale,
+        x.shape[3])) * 255, jnp.float32)
+
+    def loss_flax(p):
+        sr = model.apply({"params": p}, x)
+        return jnp.mean(jnp.abs(sr - hr))
+
+    def loss_fused(p):
+        sr = fused_drct_train_forward(p, CFG, x, deterministic=True,
+                                      dtype=jnp.float32)
+        return jnp.mean(jnp.abs(sr - hr))
+
+    lw, gw = jax.value_and_grad(loss_flax)(params)
+    lf, gf = jax.value_and_grad(loss_fused)(params)
+    np.testing.assert_allclose(float(lf), float(lw), rtol=1e-4)
+    flat_w = jax.tree_util.tree_leaves_with_path(gw)
+    flat_f = dict(jax.tree_util.tree_leaves_with_path(gf))
+    for path, leaf_w in flat_w:
+        a, b = np.asarray(leaf_w), np.asarray(flat_f[path])
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b, a, atol=2e-3 * scale, rtol=2e-2,
+                                   err_msg=jax.tree_util.keystr(path))
+
+
 def test_train_forward_bf16_path_parity():
     # the hardware train path packs and computes in bf16 — run those exact
     # numerics (bf16 operands, f32 LN/softmax internals) in interpret mode
