@@ -85,6 +85,16 @@ class TrainStepBundle:
         return iter((self.step, self.init_state, self.model))
 
 
+def _fused_train_geom_ok(model) -> bool:
+    """The fused backward kernel's scratches scale with L = img_size^2 (the
+    score scratch alone is L*max_heads*gn f32, ~25 MiB at L=4096/window-16)
+    on top of ~46 MiB of VMEM-resident dW staging; beyond the validated
+    128px geometry (L = 1024) the combined demand exceeds v5e VMEM, so
+    training falls back to the XLA+remat path (interpret-mode 'force' has
+    no VMEM and keeps the kernels at any size)."""
+    return model.img_size * model.img_size <= 1024
+
+
 def make_train_step(exp: Experiment, mesh=None) -> TrainStepBundle:
     """Build the jitted train step for an experiment.
 
@@ -133,6 +143,9 @@ def make_train_step(exp: Experiment, mesh=None) -> TrainStepBundle:
     else:
         topo_ok = ((mesh is None and jax.device_count() == 1)
                    or (mesh is not None and tp_size == 1))
+    geom_ok = (fused_flag == "force"
+               or (isinstance(exp.model, DRCTModelConfig)
+                   and _fused_train_geom_ok(exp.model)))
     use_fused_train = (
         isinstance(exp.model, DRCTModelConfig)
         and getattr(exp.model, "scan_layers", False)
@@ -140,6 +153,7 @@ def make_train_step(exp: Experiment, mesh=None) -> TrainStepBundle:
              or (fused_flag == "1"
                  and jax.default_backend() not in ("cpu",)))
         and topo_ok
+        and geom_ok
     )
 
     # The fused backward kernel's 41 VMEM-resident buffers (40 grad

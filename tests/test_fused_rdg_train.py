@@ -177,6 +177,37 @@ def test_train_forward_droppath_zero_branch():
     assert got_det.shape == got_rng.shape
 
 
+def test_fused_train_geometry_gate(monkeypatch):
+    # beyond the validated 128px geometry (L = img_size^2 = 1024) the
+    # backward kernel's scratches + dW staging exceed v5e VMEM, so
+    # make_train_step must fall back to the XLA path ('force' keeps the
+    # kernels for interpret tests; '1' respects the gate)
+    import dataclasses
+
+    from adsr_tpu.core.config import DataConfig, Experiment, OptimConfig
+    from adsr_tpu.train.trainer import make_train_step
+
+    data = DataConfig(resolution=16, patch_size=16, scale=(2,), n_colors=1,
+                      batch_size=2, test_every=2)
+
+    def bundle_for(img_size, flag):
+        cfg = dataclasses.replace(CFG, img_size=img_size)
+        exp = Experiment(model=cfg, data=data, optim=OptimConfig(lr=1e-3),
+                         save="/tmp/t", precision="fp32")
+        monkeypatch.setenv("ADSR_TPU_FUSED_TRAIN", flag)
+        return make_train_step(exp)
+
+    from adsr_tpu.train.trainer import _fused_train_geom_ok
+
+    assert bundle_for(8, "force").use_fused_train
+    assert bundle_for(64, "force").use_fused_train     # interpret: no VMEM
+    assert not bundle_for(64, "1").use_fused_train     # L=4096 > budget
+    # the geometry rule itself (the '1' case above also fails the backend
+    # check on CPU, so pin the rule directly)
+    assert _fused_train_geom_ok(dataclasses.replace(CFG, img_size=32))
+    assert not _fused_train_geom_ok(dataclasses.replace(CFG, img_size=64))
+
+
 def test_fused_train_step_matches_xla_step(monkeypatch):
     # the EXACT code path the TPU train bench takes (trainer branch ->
     # custom-VJP kernels -> optax update), interpret mode: at num_layers=1
