@@ -694,7 +694,14 @@ def _rdg_train_bwd(cfg_key, h, w, res, g):
             if _HAS_PLTPU and not _INTERPRET else None),
         interpret=_INTERPRET,
     )(jnp.pad(dp, ((0, 0), (0, 128 - dp.shape[1])))[:, None, :], cat,
-      g.reshape(b * l, c0p), *ops)
+      # barrier: a compile-time-CONSTANT cotangent (e.g. a pure-sum loss,
+      # whose dL/dout is independent of params/x) lets XLA constant-fold
+      # the custom-call operand, which faults the TPU worker (reproduced
+      # on v5e; constant runtime VALUES through a non-constant program run
+      # fine — scripts/bench_fused_train_hw.py stage_gradonly's
+      # ADSR_GRADONLY_HR_CONST A/B). The barrier keeps g a materialized
+      # runtime buffer with the default layout.
+      lax.optimization_barrier(g).reshape(b * l, c0p), *ops)
 
     dx = outs[0].reshape(b, l, c0p)
     dops_raw = outs[1:]

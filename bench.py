@@ -317,18 +317,30 @@ def main() -> None:
         tflops = platform_tflops() if jax.default_backend() != "cpu" else None
     except Exception:
         tflops = None
+    def _warn(name, exc):
+        # secondary metrics must not sink the headline, but their failure
+        # must be VISIBLE (a silent except here once hid a DRN regression
+        # for a full bench cycle) — stderr keeps the stdout JSON contract
+        import sys
+        import traceback
+        print(f"bench: {name} failed: {exc!r}", file=sys.stderr)
+        traceback.print_exc(limit=3, file=sys.stderr)
+
     try:
         train_imgs, train_mfu = bench_train(exp)
-    except Exception:
+    except Exception as e:
         train_imgs, train_mfu = None, None
+        _warn("bench_train", e)
     try:
         drn_serve, drn_train = bench_drn()
-    except Exception:
+    except Exception as e:
         drn_serve, drn_train = None, None
+        _warn("bench_drn", e)
     try:
         ead_serve, ead_train = bench_efficientad()
-    except Exception:
+    except Exception as e:
         ead_serve, ead_train = None, None
+        _warn("bench_efficientad", e)
 
     out = {
         "metric": f"DRCT x4 @128px HR inference (batch {BATCH}, bf16, "

@@ -120,6 +120,84 @@ def stage_fwdonly(batch: int = 16):
           f"({best * 1e3:.2f} ms/chain-iter)")
 
 
+def stage_gradonly(batch: int = 16):
+    """Fused forward + custom-VJP backward ALONE (value_and_grad of a sum
+    loss; no L1/SSIM pipeline, no Adam), chained — with stage_fwdonly this
+    splits the full step into fwd kernel / bwd kernel / glue shares."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    import bench
+    from adsr_tpu.models.factory import init_sr_params
+    from adsr_tpu.ops.fused_rdg_train import fused_drct_train_forward
+    from adsr_tpu.train.trainer import FUSED_TRAIN_COMPILER_OPTIONS
+
+    exp = _exp(batch)
+    params, _ = init_sr_params(exp.model, jax.random.key(0), exp.precision)
+    x = jax.random.uniform(jax.random.key(1), (batch, 32, 32, 1),
+                           jnp.float32, 0.0, 255.0)
+    # ADSR_GRADONLY_HR_CONST=1: shift hr far above the output range so the
+    # L1 cotangent is VALUE-constant (sign(o-hr) = -1 everywhere) under the
+    # identical program — distinguishes value- from program-sensitivity of
+    # the constant-cotangent worker fault (see stage docstring)
+    hr = jax.random.uniform(jax.random.key(3), (batch, 128, 128, 1),
+                            jnp.float32, 0.0, 255.0)
+    if os.environ.get("ADSR_GRADONLY_HR_CONST") == "1":
+        hr = hr + 1e9
+    # ADSR_GRADONLY_FLAX=1: differentiate the plain flax/XLA model instead
+    # of the fused kernels — discriminates an upstream XLA fault from a
+    # kernel fault under the sum-shaped cotangent
+    rng = jax.random.key(2)
+    if os.environ.get("ADSR_GRADONLY_FLAX") == "1":
+        from adsr_tpu.models.factory import make_model
+        model = make_model(exp.model, exp.precision)
+
+        def fwd_fn(p, x, i):
+            return model.apply({"params": p}, x, deterministic=False,
+                               rngs={"dropout": jax.random.fold_in(rng, i)})
+    else:
+        def fwd_fn(p, x, i):
+            return fused_drct_train_forward(
+                p, exp.model, x, rng=jax.random.fold_in(rng, i),
+                deterministic=False, dtype=jnp.bfloat16)
+    k = 10
+
+    @functools.partial(jax.jit,
+                       compiler_options=FUSED_TRAIN_COMPILER_OPTIONS)
+    def loop(params, x):
+        def body(x, i):
+            def loss(p):
+                o = fwd_fn(p, x, i)
+                sum_mode = os.environ.get("ADSR_GRADONLY_SUM")
+                if sum_mode == "1":
+                    # compile-time-constant cotangent — regression probe
+                    # for the constant-folded-operand worker fault
+                    return jnp.sum(o) * 1e-6, o
+                if sum_mode == "2":
+                    # same sum structure but a runtime-dependent scale, so
+                    # the cotangent cannot constant-fold — isolates folding
+                    # (vs the sum structure itself) as the fault trigger
+                    return jnp.sum(o) * (1e-6 + jnp.mean(x) * 1e-30), o
+                return jnp.mean(jnp.abs(o - hr)), o
+            (val, o), grads = jax.value_and_grad(loss, has_aux=True)(params)
+            gsum = sum(jnp.sum(jnp.abs(g))
+                       for g in jax.tree_util.tree_leaves(grads))
+            nxt = jnp.clip(
+                o.reshape(batch, 32, 4, 32, 4, 1).mean(axis=(2, 4)),
+                0.0, 255.0)
+            return nxt, val + gsum * 0.0
+        x, sums = lax.scan(body, x, jnp.arange(k))
+        return jnp.sum(sums)
+
+    float(loop(params, x))
+    best, _ = bench._timed_best(lambda: float(loop(params, x)), k, 5)
+    print(f"train fwd+bwd-only batch={batch}: {batch / best:.2f} img/s "
+          f"({best * 1e3:.2f} ms/chain-iter)")
+
+
 def stage_train(fused: bool, batch: int = 16):
     os.environ["ADSR_TPU_FUSED_TRAIN"] = "1" if fused else "0"
     import bench
@@ -143,6 +221,8 @@ def main():
         stage_parity()
     elif stage == "fwdonly":
         stage_fwdonly(batch)
+    elif stage == "gradonly":
+        stage_gradonly(batch)
     elif stage == "fused":
         stage_train(True, batch)
     elif stage == "xla":
