@@ -148,6 +148,10 @@ def train(exp: Experiment, resume: bool = False) -> None:
                               f"(epoch {trainer.epoch})")
         except FileNotFoundError:
             journal.write_log("No train state to resume; starting fresh")
+    if (exp.pre_train != "." and os.path.isfile(exp.pre_train)) or resume:
+        # loaded params can carry LN scales the init-time exp2 score-bound
+        # check never saw — re-run the guard on what will actually train
+        trainer.apply_softmax_guard()
 
     # preemption handling: SIGTERM/SIGINT finish the current epoch, save the
     # full train state (params+optimizer+step), and exit resumable — the

@@ -67,8 +67,9 @@ from jax import lax
 from jax.experimental import pallas as pl
 
 from adsr_tpu.core.config import DRCTModelConfig
-from adsr_tpu.ops.fused_rdg import (_composed_shift_plan, _pack_rdg_layer,
-                                    _rdg_group, _vext_ok, rdg_geometry)
+from adsr_tpu.ops.fused_rdg import (_LOG2E, _composed_shift_plan,
+                                    _pack_rdg_layer, _rdg_group, _vext_ok,
+                                    rdg_geometry)
 from adsr_tpu.ops.fused_swin_block import _HAS_PLTPU, _INTERPRET
 
 if _HAS_PLTPU:
@@ -83,6 +84,17 @@ _OPS_PER_BLOCK = 8   # wqkv, wproj, w1, w2, wadj, badj, bvec, attn
 # loops are the precedent, ops/fused_rdg.py _ROLL_AT). Below the threshold
 # the loops unroll, preserving cross-tile scheduling freedom.
 _ROLL_AT = int(os.environ.get("ADSR_TPU_TRAIN_ROLL_AT", "3"))
+
+# Constant stability shift (log2 units, ~32 nats) pre-subtracted from the
+# packed additive attention term on the exp2 path: softmax is shift-
+# invariant (the ones-column rowsum carries the same 2^-46 factor, the
+# ratio cancels it exactly), so the per-tile cross-lane max reduction can
+# be dropped while KEEPING overflow margin — f32 exp2 overflows at 2^128,
+# i.e. true scores up to ~(128+46)/log2(e) ≈ 120 nats, vs ~88 with no
+# shift. Every row keeps its self-attention diagonal, so a row can never
+# be all -inf-masked and the rowsum never collapses to 0 (same argument
+# as the serving kernel's unstabilised path, ops/fused_rdg.py:695-706).
+_EXP2_SHIFT = 46.0
 
 
 def _per_image(imgs: int, body) -> None:
@@ -178,7 +190,7 @@ def _dp_col(dp_ref, idx, imgs, l):
 
 
 def _fwd_kernel(x_ref, dp_ref, *refs, h, w, win, imgs, cs, cps, nhs, shifts,
-                c3ps, fps, cat_p, shift_plans, group):
+                c3ps, fps, cat_p, shift_plans, group, exp2):
     """Each program runs ``imgs`` images ROW-STACKED (the serving kernel's
     round-3 restructure, ops/fused_rdg.py:_rdg_kernel_impl): every row-wise
     op (LN, the five big matmuls, gelu, residuals, concat add) runs ONCE
@@ -245,8 +257,15 @@ def _fwd_kernel(x_ref, dp_ref, *refs, h, w, win, imgs, cs, cps, nhs, shifts,
                     arow = slice((ja * nh + hh) * gn,
                                  (ja * nh + hh + 1) * gn)
                     s = _mm_a_bt(q, kk) + a_ref[arow, :]
-                    s = s - jnp.max(s, axis=-1, keepdims=True)
-                    p = jnp.exp(s)
+                    if exp2:
+                        # log2e + the -_EXP2_SHIFT stability margin are
+                        # pre-folded into the packed q/attn operands: raw
+                        # native pow2, no per-tile max reduction (the
+                        # rowsum normalisation cancels the shift exactly)
+                        p = jnp.exp2(s)
+                    else:
+                        s = s - jnp.max(s, axis=-1, keepdims=True)
+                        p = jnp.exp(s)
                     if use_vext:
                         # [v_h | 1] packed lanes: the ctx matmul's last
                         # column is the softmax row-sum — normalise the
@@ -307,7 +326,7 @@ def _fwd_kernel(x_ref, dp_ref, *refs, h, w, win, imgs, cs, cps, nhs, shifts,
 # --------------------------------------------------------------------------- #
 
 def _bwd_kernel(dp_ref, cat_ref, g_ref, *refs, h, w, win, imgs, cs, cps,
-                nhs, shifts, c3ps, fps, cat_p, shift_plans, group):
+                nhs, shifts, c3ps, fps, cat_p, shift_plans, group, exp2):
     """Per (image-group, RDG) backward, ``imgs`` images row-stacked like
     the forward. refs =
     5 x operand refs, then outputs:
@@ -395,8 +414,14 @@ def _bwd_kernel(dp_ref, cat_ref, g_ref, *refs, h, w, win, imgs, cs, cps,
                                  (ja * nh + hh + 1) * gn)
                     srow = pl.ds(sb + (j * nh + hh) * gn, gn)
                     s = _mm_a_bt(q, kk) + a_ref[arow, :]
-                    s = s - jnp.max(s, axis=-1, keepdims=True)
-                    p = jnp.exp(s)
+                    if exp2:
+                        # pre-folded log2e/-shift, see _fwd_kernel; the
+                        # grad loop below only consumes the NORMALISED
+                        # probabilities, which are shift-invariant
+                        p = jnp.exp2(s)
+                    else:
+                        s = s - jnp.max(s, axis=-1, keepdims=True)
+                        p = jnp.exp(s)
                     if use_vext:
                         # row-sum via the [v_h | 1] ones column (see
                         # _fwd_kernel); the grad loops below need the
@@ -500,6 +525,14 @@ def _bwd_kernel(dp_ref, cat_ref, g_ref, *refs, h, w, win, imgs, cs, cps,
                     dv = _mm_at_b(p.astype(mm_dt), dctx_h.astype(mm_dt))
                     dp = _mm_a_bt(dctx_h.astype(mm_dt), v)
                     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+                    if exp2:
+                        # base-2 softmax jacobian: p = softmax2(t) has
+                        # dp/dt = ln2 * p (delta - p) — the ln2 belongs to
+                        # EVERY score-path gradient (dattn, dq, dk); the
+                        # pack's log2e folds then cancel it exactly where
+                        # they apply (q cols, attn term) and the unfolded
+                        # k path needs it outright
+                        ds = ds * 0.6931471805599453
                     dattn_o[arow, :] += ds
                     q = qkv_scr[rows, hh * hd:hh * hd + hd]
                     kk = qkv_scr[rows, c + hh * hd:c + hh * hd + hd]
@@ -553,9 +586,9 @@ def _bwd_kernel(dp_ref, cat_ref, g_ref, *refs, h, w, win, imgs, cs, cps,
 # custom_vjp wrapper
 # --------------------------------------------------------------------------- #
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _rdg_train_core(cfg_key, h, w, x, dp, *ops):
-    out, _ = _rdg_train_fwd_call(cfg_key, h, w, x, dp, *ops)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _rdg_train_core(cfg_key, h, w, exp2, x, dp, *ops):
+    out, _ = _rdg_train_fwd_call(cfg_key, h, w, exp2, x, dp, *ops)
     return out
 
 
@@ -583,7 +616,7 @@ def _train_imgs(b: int, l: int, bwd: bool = False) -> int:
     return imgs
 
 
-def _rdg_train_fwd_call(cfg_key, h, w, x, dp, *ops):
+def _rdg_train_fwd_call(cfg_key, h, w, exp2, x, dp, *ops):
     cfg = _cfg_from_key(cfg_key)
     g, win, n, nw, group, plans = _geom(cfg, h, w)
     b, l, c0p = x.shape
@@ -595,7 +628,7 @@ def _rdg_train_fwd_call(cfg_key, h, w, x, dp, *ops):
     kernel = functools.partial(
         _fwd_kernel, h=h, w=w, win=win, imgs=imgs, cs=g["feats"],
         cps=g["cps"], nhs=g["heads"], shifts=g["shifts"], c3ps=c3ps,
-        fps=fps, cat_p=cat_p, shift_plans=plans, group=group)
+        fps=fps, cat_p=cat_p, shift_plans=plans, group=group, exp2=exp2)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     # token arrays enter/leave the kernels 2-D ([B*L, C], an image-group per
     # block) so the rolled per-image loops can pl.ds-index them directly
@@ -631,12 +664,12 @@ def _rdg_train_fwd_call(cfg_key, h, w, x, dp, *ops):
     return out.reshape(b, l, c0p), cat
 
 
-def _rdg_train_fwd(cfg_key, h, w, x, dp, *ops):
-    out, cat = _rdg_train_fwd_call(cfg_key, h, w, x, dp, *ops)
+def _rdg_train_fwd(cfg_key, h, w, exp2, x, dp, *ops):
+    out, cat = _rdg_train_fwd_call(cfg_key, h, w, exp2, x, dp, *ops)
     return out, (dp, cat, ops)
 
 
-def _rdg_train_bwd(cfg_key, h, w, res, g):
+def _rdg_train_bwd(cfg_key, h, w, exp2, res, g):
     dp, cat, ops = res
     cfg = _cfg_from_key(cfg_key)
     geo, win, n, nw, group, plans = _geom(cfg, h, w)
@@ -652,7 +685,7 @@ def _rdg_train_bwd(cfg_key, h, w, res, g):
     kernel = functools.partial(
         _bwd_kernel, h=h, w=w, win=win, imgs=imgs, cs=geo["feats"],
         cps=geo["cps"], nhs=geo["heads"], shifts=geo["shifts"], c3ps=c3ps,
-        fps=fps, cat_p=cat_p, shift_plans=plans, group=group)
+        fps=fps, cat_p=cat_p, shift_plans=plans, group=group, exp2=exp2)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     acc = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
 
@@ -730,17 +763,36 @@ def _cfg_key(cfg: DRCTModelConfig):
 
 
 def pack_train(params: Dict, cfg: DRCTModelConfig, h: int, w: int,
-               dtype=jnp.bfloat16):
+               dtype=jnp.bfloat16, exp2: bool = False):
     """Differentiable packing of the scan-stacked DRCT tree for the train
-    kernels (no log2e fold, no score-bound check — the kernels always use
-    the stabilised softmax). The v heads use the [v_h | 1] ones-column
-    layout (vext) where it fits, so the kernels' ctx matmuls emit the
-    softmax row-sums for free; the ones column packs from constants, so
-    autodiff through the pack drops its (meaningless) gradient."""
+    kernels. The v heads use the [v_h | 1] ones-column layout (vext) where
+    it fits, so the kernels' ctx matmuls emit the softmax row-sums for
+    free; the ones column packs from constants, so autodiff through the
+    pack drops its (meaningless) gradient.
+
+    ``exp2``: fold log2(e) into the packed q columns / additive term (like
+    the serving pack) AND pre-subtract _EXP2_SHIFT from the additive term,
+    so the kernels run a raw native pow2 with no per-tile max reduction.
+    The fold is ordinary differentiable jnp code, so d(raw params) chains
+    through the scale automatically; the constant shift has zero gradient
+    and cancels exactly in the rowsum normalisation."""
     rdg = params["rdgs"]["rdg"]
+    g = rdg_geometry(cfg)
 
     def pack(layer):
-        return _pack_rdg_layer(layer, cfg, h, w, dtype, vext=True)
+        blocks = _pack_rdg_layer(layer, cfg, h, w, dtype, vext=True)
+        if exp2:
+            folded = []
+            for k, blk in enumerate(blocks):
+                c = g["feats"][k]
+                blk = dict(blk)
+                blk["wqkv"] = blk["wqkv"].at[..., :c].multiply(_LOG2E)
+                # bvec row 0 holds bqkv (q lanes are its first c columns)
+                blk["bvec"] = blk["bvec"].at[..., 0, :c].multiply(_LOG2E)
+                blk["attn"] = blk["attn"] * _LOG2E - _EXP2_SHIFT
+                folded.append(blk)
+            blocks = folded
+        return blocks
 
     return jax.vmap(pack)(rdg)
 
@@ -762,14 +814,45 @@ def drop_path_mults(rng: jax.Array, cfg: DRCTModelConfig, b: int,
     return jnp.floor(keep + u) / keep
 
 
+def train_score_bound(params: Dict, cfg: DRCTModelConfig, h: int,
+                      w: int) -> float:
+    """Largest attention score (natural-log units) the CURRENT params can
+    produce through the train pack — the serving `_score_bound` power-
+    iteration estimate run on the unfolded train-layout blocks. Callers
+    (the Trainer) evaluate this on CONCRETE params at setup/resume time and
+    pass ``stable=True`` to :func:`fused_drct_train_forward` when it
+    crosses :data:`EXP2_SAFE_BOUND` — the exp2 kernels themselves never
+    branch on data."""
+    from adsr_tpu.ops.fused_rdg import _score_bound
+
+    def build(p):
+        blocks = pack_train(p, cfg, h, w, dtype=jnp.bfloat16, exp2=False)
+        return _score_bound(list(blocks), cfg)
+
+    return float(jax.jit(build)(params))
+
+
+# exp2 overflows f32 at arg 128; with the packed -_EXP2_SHIFT margin the
+# unstabilised train softmax survives true scores to (128 + 46)/log2(e)
+# ~ 120 nats. Guard well below that: typical LN-bounded scores sit under
+# ~15 nats, and params DRIFT during training after the setup-time check,
+# so the threshold leaves ~20 nats of drift headroom on top of the
+# serving guard's 80 (which has no shift margin, overflow ~88).
+EXP2_SAFE_BOUND = 100.0
+
+
 def fused_drct_train_forward(params: Dict, cfg: DRCTModelConfig,
                              x: jnp.ndarray, rng: jax.Array = None,
                              deterministic: bool = True,
-                             dtype=jnp.bfloat16) -> jnp.ndarray:
+                             dtype=jnp.bfloat16,
+                             stable: bool = False) -> jnp.ndarray:
     """Training-grade DRCT forward on the fused RDG kernels; differentiable
     (custom-VJP backward kernel), matching ``DRCT.apply`` numerics for
     deterministic forwards. Head/tail convs + patch/final LayerNorm run in
-    XLA (tiny share of the budget)."""
+    XLA (tiny share of the budget).
+
+    ``stable=True`` forces the per-tile max-stabilised softmax (the Trainer
+    sets it when :func:`train_score_bound` trips on the loaded params)."""
     from adsr_tpu.models.common import RGB_MEAN
 
     assert cfg.scan_layers
@@ -781,7 +864,12 @@ def fused_drct_train_forward(params: Dict, cfg: DRCTModelConfig,
     b, h, w, _ = x.shape
     d, win = cfg.embed_dim, cfg.window_size
 
-    blocks = pack_train(params, cfg, h, w, dtype=dtype)
+    # exp2 fast path (bf16 only, like serving; ``stable`` is the Trainer's
+    # score-bound guard, ADSR_TPU_TRAIN_STABLE=1 the manual opt-out) — pack
+    # and kernels coordinate through this one flag
+    exp2 = (dtype == jnp.bfloat16 and not stable
+            and os.environ.get("ADSR_TPU_TRAIN_STABLE") != "1")
+    blocks = pack_train(params, cfg, h, w, dtype=dtype, exp2=exp2)
     dp = drop_path_mults(
         rng if rng is not None else jax.random.key(0), cfg, b,
         deterministic)
@@ -814,7 +902,7 @@ def fused_drct_train_forward(params: Dict, cfg: DRCTModelConfig,
             bd = blk[ki]
             flat += [bd["wqkv"], bd["wproj"], bd["w1"], bd["w2"],
                      bd["wadj"], bd["badj"], bd["bvec"], bd["attn"]]
-        return _rdg_train_core(key, h, w, t, dpl, *flat), None
+        return _rdg_train_core(key, h, w, exp2, t, dpl, *flat), None
 
     t, _ = lax.scan(rdg_body, t, (blocks, dp))
     t = (t.reshape(b, hw, ww, 2, 2, q, q, c0p)

@@ -95,7 +95,8 @@ def _fused_train_geom_ok(model) -> bool:
     return model.img_size * model.img_size <= 1024
 
 
-def make_train_step(exp: Experiment, mesh=None) -> TrainStepBundle:
+def make_train_step(exp: Experiment, mesh=None,
+                    softmax_stable: bool = False) -> TrainStepBundle:
     """Build the jitted train step for an experiment.
 
     Step signature: (state, lrs, hr, lr_rate, rng) -> (state, metrics_dict).
@@ -173,7 +174,7 @@ def make_train_step(exp: Experiment, mesh=None) -> TrainStepBundle:
             from adsr_tpu.ops.fused_rdg_train import fused_drct_train_forward
             return fused_drct_train_forward(
                 params, exp.model, lr0, rng=rng, deterministic=False,
-                dtype=compute_dtype(exp.precision))
+                dtype=compute_dtype(exp.precision), stable=softmax_stable)
         return model.apply({"params": params}, lr0,
                            deterministic=False, rngs={"dropout": rng})
 
@@ -461,10 +462,12 @@ class Trainer:
                  test_ds: Optional[SRDataset], journal=None):
         self.exp = exp
         self.journal = journal
-        self.train_step, init_state, self.model = make_train_step(exp)
+        self._bundle = make_train_step(exp)
+        self.train_step, init_state, self.model = self._bundle
         self.eval_forward = make_eval_forward(exp)
         key = prng.root_key(exp.seed)
         self.state = init_state(prng.stream(key, "init"))
+        self.apply_softmax_guard()
         self.dropout_root = prng.stream(key, "dropout")
         self.epoch = 0
         self.error_last = 1e8
@@ -479,6 +482,34 @@ class Trainer:
         self.test_ds = test_ds
 
     # ------------------------------------------------------------------ #
+
+    def apply_softmax_guard(self) -> None:
+        """Score-bound guard for the fused bf16 exp2 train softmax (the
+        train-side twin of serving's pack-time `_score_bound` fallback,
+        ops/fused_rdg.py prepack_rdg_stack): estimate the largest attention
+        score the CURRENT params can produce; past EXP2_SAFE_BOUND, rebuild
+        the step on the max-stabilised kernels. Re-run after any params
+        load (--pre-train / --resume) — drift DURING training is covered by
+        the ~20-nat headroom between the threshold and f32 exp2 overflow."""
+        if not getattr(self._bundle, "use_fused_train", False):
+            return
+        from adsr_tpu.models.factory import compute_dtype
+        if compute_dtype(self.exp.precision) != jnp.bfloat16:
+            return
+        from adsr_tpu.ops.fused_rdg_train import (EXP2_SAFE_BOUND,
+                                                  train_score_bound)
+        cfg = self.exp.model
+        bound = train_score_bound(self.state.params["primal"], cfg,
+                                  cfg.img_size, cfg.img_size)
+        if bound > EXP2_SAFE_BOUND:
+            self._log(
+                f"fused train: packed-weight score bound {bound:.1f} > "
+                f"{EXP2_SAFE_BOUND:.0f} — falling back to the stabilised "
+                "softmax kernels (unusually large LayerNorm scale in the "
+                "loaded params?)")
+            self._bundle = make_train_step(self.exp, softmax_stable=True)
+            self.train_step = self._bundle.step
+            self.model = self._bundle.model
 
     def _log(self, msg: str) -> None:
         if self.journal is not None:
