@@ -94,11 +94,13 @@ def platform_tflops():
     return 2 * n ** 3 / best / 1e12
 
 
-def bench_serving(exp, repeats=REPEATS):
+def bench_serving(exp, repeats=REPEATS, batch=BATCH):
     from adsr_tpu.models.factory import init_sr_params, make_model
 
     model = make_model(exp.model, exp.precision)
     params, _ = init_sr_params(exp.model, jax.random.key(0), exp.precision)
+    lr = exp.model.img_size       # LR side the graph is compiled for
+    s = exp.model.upscale         # SR upscale factor
 
     # serving path: fused Pallas RDG programs on TPU (ops/fused_rdg.py) with
     # weights prepacked once, XLA model otherwise — same dispatch the
@@ -107,7 +109,7 @@ def bench_serving(exp, repeats=REPEATS):
     if use_fused:
         from adsr_tpu.ops.fused_drct import fused_drct_apply, prepack_drct
 
-        params = prepack_drct(params, exp.model, 32, 32, dtype=jnp.bfloat16)
+        params = prepack_drct(params, exp.model, lr, lr, dtype=jnp.bfloat16)
 
         def fwd(params, x):
             return fused_drct_apply(params, exp.model, x,
@@ -122,18 +124,18 @@ def bench_serving(exp, repeats=REPEATS):
             o = fwd(params, x)
             # derive next input from the output -> no execution can be elided
             nxt = jnp.clip(
-                o.reshape(BATCH, 32, 4, 32, 4, 1).mean(axis=(2, 4)),
+                o.reshape(batch, lr, s, lr, s, 1).mean(axis=(2, 4)),
                 0.0, 255.0)
             return nxt, jnp.sum(o)
         x, sums = lax.scan(body, x, None, length=K)
         return jnp.sum(sums)
 
-    x = jax.random.uniform(jax.random.key(1), (BATCH, 32, 32, 1),
+    x = jax.random.uniform(jax.random.key(1), (batch, lr, lr, 1),
                            jnp.float32, 0.0, 255.0)
     float(loop(params, x))  # warm: compile + one full chain
 
     best, spread = _timed_best(lambda: float(loop(params, x)), K, repeats)
-    return BATCH / best, spread
+    return batch / best, spread
 
 
 def bench_train(exp):
@@ -341,6 +343,15 @@ def main() -> None:
     except Exception as e:
         ead_serve, ead_train = None, None
         _warn("bench_efficientad", e)
+    try:
+        # the reference's best-AUC geometry (256px HR, window 16, N=256 —
+        # src/main.py:286) through the same fused serving path
+        exp256 = drct_experiment(classe="grid", resolution=256, scale=4,
+                                 precision="bf16")
+        drct256, _ = bench_serving(exp256, repeats=REPEATS_AUX, batch=8)
+    except Exception as e:
+        drct256 = None
+        _warn("bench_drct256", e)
 
     out = {
         "metric": f"DRCT x4 @128px HR inference (batch {BATCH}, bf16, "
@@ -362,6 +373,8 @@ def main() -> None:
     if ead_serve is not None:
         out["ead_imgs_per_sec"] = round(ead_serve, 2)
         out["ead_train_imgs_per_sec"] = round(ead_train, 2)
+    if drct256 is not None:
+        out["drct256_imgs_per_sec"] = round(drct256, 2)
     print(json.dumps(out))
 
 
