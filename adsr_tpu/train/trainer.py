@@ -23,6 +23,7 @@ Reproduced semantics:
 from __future__ import annotations
 
 import math
+import os
 import time
 from functools import partial
 from typing import Any, Dict, List, Optional, Tuple
@@ -53,7 +54,11 @@ class TrainState(struct.PyTreeNode):
 # (ops/fused_rdg_train.py): its 41 VMEM-resident outputs need ~46 MiB of
 # custom-call staging vs the ~16 MiB default.  Any jit that inlines the fused
 # train step (e.g. bench.py's chained-scan loop) must carry these options.
-FUSED_TRAIN_COMPILER_OPTIONS = {"xla_tpu_scoped_vmem_limit_kib": "98304"}
+# Env-overridable (ADSR_TPU_SCOPED_VMEM_KIB) for stacked-backward A/Bs: the
+# 2-image backward needs ~102 MiB (v5e VMEM is 128 MiB total).
+FUSED_TRAIN_COMPILER_OPTIONS = {
+    "xla_tpu_scoped_vmem_limit_kib":
+        os.environ.get("ADSR_TPU_SCOPED_VMEM_KIB", "98304")}
 
 
 def cosine_lr(epoch: int, lr0: float, eta_min: float, epochs: int) -> float:
