@@ -35,6 +35,17 @@ def parse_args(argv=None):
                    choices=["small", "medium"])
     p.add_argument("--image-size", type=int, default=256)
     p.add_argument("--teacher-weights", type=str, default="")
+    p.add_argument("--teacher", type=str, default="auto",
+                   choices=["auto", "random", "scratch"],
+                   help="teacher source: 'auto' = --teacher-weights if "
+                        "given else random-init; 'scratch' = distill the "
+                        "teacher from a frozen random feature oracle over "
+                        "the train images (train/distill.py) — runnable "
+                        "with zero external artifacts, AUC caveat applies "
+                        "(the reference requires pretrained weights, "
+                        "src/efficientAD.py:429-444)")
+    p.add_argument("--distill-steps", type=int, default=2000,
+                   help="feature-regression steps for --teacher scratch")
     p.add_argument("--imagenet-train-path", type=str, default="none",
                    help="folder of ImageNet(-like) images for the optional "
                         "pretraining penalty; 'none' disables it "
@@ -95,11 +106,25 @@ def main(argv=None):
     print(f"train={len(tr_imgs)} val={len(val_imgs)} test={len(test_imgs)}")
 
     trainer = EfficientADTrainer(cfg)
-    if args.teacher_weights and os.path.isfile(args.teacher_weights):
+    if args.teacher == "scratch":
+        from adsr_tpu.train.distill import distill_teacher
+        print(f"Distilling scratch teacher ({args.distill_steps} steps, "
+              "frozen random medium-PDN oracle)...")
+        trainer.teacher_params, dloss = distill_teacher(
+            cfg.out_channels, cfg.model_size, tr_imgs,
+            steps=args.distill_steps, seed=cfg.seed)
+        save_params(str(out_dir / "teacher_distilled.msgpack"),
+                    trainer.teacher_params)
+        print(f"Distilled teacher saved (final MSE {dloss:.4f}). NOTE: "
+              "scratch-distilled (random-oracle) teacher — AUC will not "
+              "match the reference's pretrained-teacher numbers")
+    elif args.teacher_weights and os.path.isfile(args.teacher_weights):
         trainer.load_teacher(args.teacher_weights)
     else:
-        print("WARNING: no pretrained teacher weights — random-init teacher; "
-              "AUC will not match the reference's pretrained-teacher numbers")
+        print("WARNING: no pretrained teacher weights — random-init teacher "
+              "(use --teacher scratch for a distilled zero-artifact "
+              "substitute); AUC will not match the reference's "
+              "pretrained-teacher numbers")
 
     print("Computing teacher channel normalization...")
     trainer.teacher_normalization(tr_imgs)

@@ -170,3 +170,45 @@ class TestAutoencoderConversion:
         # range) — interpolation edge semantics, not a weight-mapping error
         np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want,
                                    atol=5e-4, rtol=1e-3)
+
+
+@pytest.mark.slow
+class TestScratchDistillation:
+    def test_distill_reduces_loss_and_feeds_trainer(self):
+        # --teacher scratch path (train/distill.py): distilling the small
+        # PDN teacher from the frozen random medium-PDN oracle must (a)
+        # reduce the feature-regression MSE from its init value, (b) produce
+        # params the trainer consumes directly (same tree as random init)
+        from adsr_tpu.train.distill import distill_teacher
+        rng = np.random.RandomState(0)
+        imgs = rng.rand(4, 64, 64, 3).astype(np.float32)
+        losses = []
+        params, final = distill_teacher(
+            16, "small", imgs, steps=30, batch=2, lr=1e-3, seed=0,
+            log=lambda m: losses.append(m))
+        assert np.isfinite(final)
+        # first logged loss (step 0) vs final: regression must improve
+        first = float(losses[0].split()[-1])
+        assert final < first, (first, final)
+
+        # the Autoencoder's decoder ladder is built for 256px inputs
+        # (models/efficientad.py:69-99), so the trainer check runs at 256;
+        # PDN convs are size-agnostic, so the 64px-distilled tree slots in
+        cfg = EADConfig(train_steps=1, batch_size=1, model_size="small",
+                        image_size=256, out_channels=16)
+        tr = EfficientADTrainer(cfg, log=lambda *_: None)
+        # the distilled tree must slot in where converted weights would
+        jax.tree_util.tree_map(lambda a, b: None, tr.teacher_params, params)
+        tr.teacher_params = params
+        imgs256 = rng.rand(2, 256, 256, 3).astype(np.float32)
+        tr.teacher_normalization(imgs256, batch=1)
+        assert np.all(np.isfinite(np.asarray(tr.teacher_std)))
+        m = tr.train_step(jnp.asarray(imgs256[:1]), jnp.asarray(imgs256[:1]),
+                          jax.random.key(0))
+        assert np.isfinite(m["total"])
+
+    def test_cli_flag_surface(self):
+        from adsr_tpu.cli.efficientad import parse_args
+        args = parse_args(["--teacher", "scratch", "--distill-steps", "7"])
+        assert args.teacher == "scratch" and args.distill_steps == 7
+        assert parse_args([]).teacher == "auto"
