@@ -26,7 +26,8 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
                                 parents=[pre])
     p.add_argument("--model-type", type=str, default="drct",
                    choices=["drct", "drn-l"])
-    p.add_argument("--dataset", type=str, default="mvtec", choices=["mvtec"])
+    p.add_argument("--dataset", type=str, default="mvtec",
+                   choices=["mvtec", "gkd", "gkd_large"])
     p.add_argument("--classe", type=str, default="grid")
     p.add_argument("--scale", type=int, default=4)
     p.add_argument("--resolution", type=int, default=128)
@@ -89,7 +90,12 @@ def main(argv: Optional[List[str]] = None):
 
     data_root = args.data_root
     if data_root == "auto":
-        data_root = f"data/mvtec_{resolution}"
+        # mirror the train CLI's per-dataset convention
+        # (core/config.py:_dataset_paths); the eval pass itself reads the
+        # SAME {root}/{classe}/test/{good,bad} layout for every dataset
+        # (reference src/evaluate.py:138-147)
+        data_root = (f"data/mvtec_{resolution}" if ds == "mvtec"
+                     else f"workspace/{ds}")
 
     if model_type == "drn-l":
         exp = drn_experiment(classe=classe, resolution=resolution,

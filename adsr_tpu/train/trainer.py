@@ -55,10 +55,27 @@ class TrainState(struct.PyTreeNode):
 # custom-call staging vs the ~16 MiB default.  Any jit that inlines the fused
 # train step (e.g. bench.py's chained-scan loop) must carry these options.
 # Env-overridable (ADSR_TPU_SCOPED_VMEM_KIB) for stacked-backward A/Bs: the
-# 2-image backward needs ~102 MiB (v5e VMEM is 128 MiB total).
+# 2-image backward needs ~102 MiB (v5e VMEM is 128 MiB total).  NOTE: the env
+# var is read ONCE at import — set it before importing the trainer.
+
+
+def _scoped_vmem_kib() -> int:
+    raw = os.environ.get("ADSR_TPU_SCOPED_VMEM_KIB", "98304")
+    try:
+        kib = int(raw)
+    except ValueError:
+        raise ValueError(
+            f"ADSR_TPU_SCOPED_VMEM_KIB={raw!r} is not an integer (KiB of "
+            "scoped VMEM for fused-train compiles, e.g. 98304)") from None
+    if not 1024 <= kib <= 131072:
+        raise ValueError(
+            f"ADSR_TPU_SCOPED_VMEM_KIB={kib} out of range [1024, 131072] "
+            "(v5e VMEM is 131072 KiB total)")
+    return kib
+
+
 FUSED_TRAIN_COMPILER_OPTIONS = {
-    "xla_tpu_scoped_vmem_limit_kib":
-        os.environ.get("ADSR_TPU_SCOPED_VMEM_KIB", "98304")}
+    "xla_tpu_scoped_vmem_limit_kib": str(_scoped_vmem_kib())}
 
 
 def cosine_lr(epoch: int, lr0: float, eta_min: float, epochs: int) -> float:
@@ -91,13 +108,16 @@ class TrainStepBundle:
 
 
 def _fused_train_geom_ok(model) -> bool:
-    """The fused backward kernel's scratches scale with L = img_size^2 (the
-    score scratch alone is L*max_heads*gn f32, ~25 MiB at L=4096/window-16)
-    on top of ~46 MiB of VMEM-resident dW staging; beyond the validated
-    128px geometry (L = 1024) the combined demand exceeds v5e VMEM, so
-    training falls back to the XLA+remat path (interpret-mode 'force' has
-    no VMEM and keeps the kernels at any size)."""
-    return model.img_size * model.img_size <= 1024
+    """The fused backward kernel's scratches scale with L = img_size^2.
+    Round 4's attention-term dedup (distinct mask types instead of
+    per-pair terms, ops/fused_rdg.py:_attn_pair_types) plus the flash-style
+    score recompute (the [L*nh, gn] f32 score scratch replaced by [L, nh]
+    row-sum reciprocals) brought the L=4096 (256px/window-16, the
+    reference's best-AUC geometry — src/main.py:243-294) backward inside
+    v5e VMEM; past that (512px native, L=16384) the token scratches alone
+    exceed the budget and training falls back to XLA+remat (interpret-mode
+    'force' has no VMEM and keeps the kernels at any size)."""
+    return model.img_size * model.img_size <= 4096
 
 
 def make_train_step(exp: Experiment, mesh=None,
@@ -464,14 +484,35 @@ class Trainer:
     """Epoch driver with the reference's terminate/test cadence."""
 
     def __init__(self, exp: Experiment, train_ds: Optional[SRDataset],
-                 test_ds: Optional[SRDataset], journal=None):
+                 test_ds: Optional[SRDataset], journal=None, mesh=None):
         self.exp = exp
         self.journal = journal
-        self._bundle = make_train_step(exp)
+        # CLI --dp/--tp/--dcn land in exp.mesh; an EXPLICIT size > 1 builds
+        # the mesh here so the epoch driver itself is the multi-chip path
+        # (train batches AND the in-training eval shard over the data axes).
+        # The dp=-1 default stays single-stream — auto-absorbing all devices
+        # is ParallelTrainer's contract (parallel/sharding.py), not the
+        # epoch driver's, so single-chip runs keep round-3 numerics/perf.
+        if mesh is None and (exp.mesh.tp > 1 or exp.mesh.dcn > 1
+                             or exp.mesh.dp > 1):
+            from adsr_tpu.core.mesh import make_mesh
+            # explicit sizes take the first dcn*dp*tp devices (make_mesh
+            # itself requires full coverage — that is ParallelTrainer's
+            # all-devices contract)
+            want = exp.mesh.dcn * exp.mesh.dp * exp.mesh.tp
+            mesh = make_mesh(exp.mesh, devices=jax.devices()[:want])
+        self.mesh = mesh
+        self._batch_sharding = None
+        self._bundle = make_train_step(exp, mesh=mesh)
         self.train_step, init_state, self.model = self._bundle
         self.eval_forward = make_eval_forward(exp)
         key = prng.root_key(exp.seed)
         self.state = init_state(prng.stream(key, "init"))
+        if mesh is not None:
+            from adsr_tpu.core.mesh import batch_sharding
+            from adsr_tpu.parallel.sharding import shard_train_state
+            self.state = shard_train_state(self.state, self._bundle, mesh)
+            self._batch_sharding = batch_sharding(mesh)
         self.apply_softmax_guard()
         self.dropout_root = prng.stream(key, "dropout")
         self.epoch = 0
@@ -537,6 +578,9 @@ class Trainer:
         for lrs, hr in self.sampler.epoch(self.epoch):
             t1 = time.time()
             t_data += t1 - t0
+            if self._batch_sharding is not None:
+                put = lambda x: jax.device_put(x, self._batch_sharding)
+                lrs, hr = [put(l) for l in lrs], put(hr)
             rng = jax.random.fold_in(
                 jax.random.fold_in(self.dropout_root, self.epoch), n_batches)
             self.state, metrics = self.train_step(self.state, lrs, hr,
@@ -571,8 +615,17 @@ class Trainer:
         lrs_dev, hr_dev = ds.device_arrays()
         t0 = time.time()
         # batched forward + metrics: one jitted call per chunk instead of a
-        # per-image host loop (each host round trip is expensive on a tunnel)
-        bsz = min(8, ds.n)
+        # per-image host loop (each host round trip is expensive on a tunnel).
+        # Chunk size follows the CLI --batch-size; on a mesh it is rounded to
+        # a multiple of the data-axis product so chunks dp-shard evenly (the
+        # pad-to-bsz below keeps partial chunks at the full static shape).
+        bsz = max(1, min(self.exp.data.batch_size, ds.n))
+        if self._batch_sharding is not None:
+            from adsr_tpu.core.mesh import data_axes
+            nd = 1
+            for a in data_axes(self.mesh):
+                nd *= self.mesh.shape[a]
+            bsz = max(nd, (bsz // nd) * nd)
         psnrs, ssims = [], []
         for i in range(0, ds.n, bsz):
             lr = lrs_dev[0][i:i + bsz]
@@ -581,6 +634,9 @@ class Trainer:
             if pad:
                 lr = jnp.concatenate([lr, jnp.repeat(lr[-1:], pad, 0)])
                 hr = jnp.concatenate([hr, jnp.repeat(hr[-1:], pad, 0)])
+            if self._batch_sharding is not None:
+                lr = jax.device_put(lr, self._batch_sharding)
+                hr = jax.device_put(hr, self._batch_sharding)
             sr = self.eval_forward(self.state.params["primal"], lr)
             sr = sr[:, :hr.shape[1], :hr.shape[2], :]
             p_b = np.asarray(psnr_shave4(sr, hr, exp.data.rgb_range))

@@ -147,6 +147,42 @@ class TestTrainStep:
         assert last < first
 
 
+class TestMeshTrainer:
+    def test_epoch_driver_dp_mesh(self):
+        # CLI --dp threads a mesh through the EPOCH DRIVER (not just
+        # ParallelTrainer): explicit dp=2 builds a 2-device mesh, trains an
+        # epoch with dp-sharded batches, and the in-training eval honors
+        # --batch-size rounded to the data-axis product
+        import dataclasses
+
+        from adsr_tpu.core.config import MeshConfig
+
+        exp = tiny_drct_exp()
+        exp = dataclasses.replace(exp, mesh=MeshConfig(dp=2, tp=1))
+        tr = Trainer(exp, synthetic_sr_dataset(4, 16, (2,)),
+                     synthetic_sr_dataset(3, 16, (2,), seed=1))
+        assert tr.mesh is not None and tr.mesh.shape["dp"] == 2
+        m = tr.train_one_epoch()
+        assert np.isfinite(m["total"])
+        p, s = tr.test()
+        assert np.isfinite(p) and -1 <= s <= 1
+
+    def test_eval_chunk_follows_batch_size(self):
+        # single-stream: Trainer.test chunks by exp.data.batch_size (the
+        # round-3 hardcoded min(8, n) ignored the CLI flag)
+        import dataclasses
+
+        exp = tiny_drct_exp()
+        exp = dataclasses.replace(
+            exp, data=dataclasses.replace(exp.data, batch_size=3))
+        calls = []
+        tr = Trainer(exp, None, synthetic_sr_dataset(5, 16, (2,), seed=1))
+        orig = tr.eval_forward
+        tr.eval_forward = lambda p, lr: calls.append(lr.shape[0]) or orig(p, lr)
+        tr.test()
+        assert calls == [3, 3]  # 5 images -> two padded chunks of 3
+
+
 class TestSkipThreshold:
     @pytest.mark.slow
     def test_spike_skips_update(self):
