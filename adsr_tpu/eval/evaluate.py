@@ -145,11 +145,16 @@ def evaluate_anomaly(exp: Experiment, params, data_root: str,
     if tile > 0 or auto_tile:
         from adsr_tpu.train.trainer import make_tiled_serving_forward
         forward = make_tiled_serving_forward(exp, params, tile or train_tile,
-                                             overlap=tile_overlap)
+                                             overlap=tile_overlap,
+                                             quantize_out=False)
         log(f"Tiled serving: tile={tile or train_tile} "
             f"overlap={tile_overlap} for {lr_size}px LR input")
     else:
-        forward = make_serving_forward(exp, params, mesh=mesh)
+        # raw float SR: the uint8 conversion below TRUNCATES like the
+        # reference's .byte() (src/evaluate.py:214); serving's quantize()
+        # rounds, which would bias ~half the pixels vs the reference scores
+        forward = make_serving_forward(exp, params, mesh=mesh,
+                                       quantize_out=False)
     sr_g, hr_g = _forward_split(forward, exp, ds_good, batch, mesh)
     sr_b, hr_b = _forward_split(forward, exp, ds_bad, batch, mesh)
     sr_u8 = np.concatenate([sr_g, sr_b])

@@ -326,12 +326,17 @@ def make_train_step(exp: Experiment, mesh=None,
     return bundle
 
 
-def make_eval_forward(exp: Experiment):
+def make_eval_forward(exp: Experiment, quantize_out: bool = True):
     """Jitted inference: LR batch -> quantized SR batch (list-output aware).
 
     DRCT on TPU uses the fused serving forward (ops/fused_drct.py) — measured
     1.56x the XLA path (592 vs 378 img/s at the flagship config). Opt out with
     ADSR_TPU_FUSED=0; CPU always uses the XLA path.
+
+    ``quantize_out=False`` returns the RAW float SR: the anomaly evaluator
+    needs it because the reference's eval path TRUNCATES to uint8
+    (``.byte()``, src/evaluate.py:214) — quantize()'s rounding first would
+    shift ~half the pixels one grey level off the reference's scores.
     """
     import os
 
@@ -343,6 +348,8 @@ def make_eval_forward(exp: Experiment):
         and os.environ.get("ADSR_TPU_FUSED", "auto") != "0"
         and jax.default_backend() not in ("cpu",)
     )
+    finish = ((lambda sr: quantize(sr, exp.data.rgb_range)) if quantize_out
+              else (lambda sr: sr))
     if use_fused:
         from adsr_tpu.models.factory import compute_dtype
         from adsr_tpu.ops.fused_drct import fused_drct_forward
@@ -351,7 +358,7 @@ def make_eval_forward(exp: Experiment):
         @jax.jit
         def forward(params, lr):
             sr = fused_drct_forward(params, exp.model, lr, dtype=dtype)
-            return quantize(sr, exp.data.rgb_range)
+            return finish(sr)
 
         return forward
 
@@ -360,13 +367,15 @@ def make_eval_forward(exp: Experiment):
         sr = model.apply({"params": params}, lr, deterministic=True)
         if isinstance(sr, (list, tuple)):
             sr = sr[-1]
-        return quantize(sr.astype(jnp.float32), exp.data.rgb_range)
+        return finish(sr.astype(jnp.float32))
 
     return forward
 
 
-def make_serving_forward(exp: Experiment, params, mesh=None):
+def make_serving_forward(exp: Experiment, params, mesh=None,
+                         quantize_out: bool = True):
     """Fixed-params jitted inference: LR batch -> quantized SR batch.
+    ``quantize_out=False`` returns raw float SR (see make_eval_forward).
 
     Unlike :func:`make_eval_forward` (params change every training eval),
     this binds the params at build time, so the fused DRCT path can run
@@ -402,7 +411,7 @@ def make_serving_forward(exp: Experiment, params, mesh=None):
 
         def body(packed, lr):
             sr = fused_drct_apply(packed, exp.model, lr, dtype=dtype)
-            return quantize(sr, exp.data.rgb_range)
+            return quantize(sr, exp.data.rgb_range) if quantize_out else sr
 
         data_axes = tuple(a for a in ("dcn", "dp")
                           if mesh is not None and mesh.shape.get(a, 1) > 1)
@@ -419,12 +428,13 @@ def make_serving_forward(exp: Experiment, params, mesh=None):
 
         return lambda lr: fwd(packed, lr)
 
-    forward = make_eval_forward(exp)
+    forward = make_eval_forward(exp, quantize_out=quantize_out)
     return lambda lr: forward(params, lr)
 
 
 def make_tiled_serving_forward(exp: Experiment, params, tile: int = 0,
-                               overlap: int = 8):
+                               overlap: int = 8,
+                               quantize_out: bool = True):
     """Serving forward for LR inputs LARGER than the compiled tile shape.
 
     Cuts the LR batch into overlapping `tile`-sized crops, batches them
@@ -475,7 +485,7 @@ def make_tiled_serving_forward(exp: Experiment, params, tile: int = 0,
     @jax.jit
     def fwd(lr):
         sr = tiled_sr_forward(raw, lr, tile, overlap, scale)
-        return quantize(sr, exp.data.rgb_range)
+        return quantize(sr, exp.data.rgb_range) if quantize_out else sr
 
     return fwd
 

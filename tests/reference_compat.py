@@ -9,9 +9,9 @@ tests that compare our Flax models against the real reference torch models.
 import sys
 import types
 
-_STUBBABLE = ("skimage", "skimage.color", "imageio", "imageio.v2", "tqdm",
-              "tifffile", "torchvision", "torchvision.transforms",
-              "torchvision.datasets")
+_STUBBABLE = ("skimage", "skimage.color", "skimage.metrics", "imageio",
+              "imageio.v2", "tqdm", "tifffile", "torchvision",
+              "torchvision.transforms", "torchvision.datasets")
 
 
 def _install_stubs():
