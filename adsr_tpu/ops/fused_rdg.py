@@ -149,6 +149,45 @@ def _composed_shift_plan(h: int, w: int, win: int,
     return tuple(runs)
 
 
+def _attn_pair_types(h: int, w: int, win: int, shift: int,
+                     group: int):
+    """Deduplicate the per-(window-group) additive attention terms.
+
+    The term is shared relative-position bias + the shift mask; the mask
+    (src/drct.py:449-470) takes only a handful of DISTINCT per-window values
+    (interior windows have none; boundary rows/columns repeat), so per-group
+    terms collapse to a few types — 4 at every half-window-shift geometry
+    (interior / bottom-row / right-column / corner), independent of image
+    size. Packing one term per TYPE instead of per group cuts the VMEM the
+    terms (and the train kernels' dattn accumulators) occupy by nw/4 — the
+    enabler for the 256px/window-16 fused train geometry, where per-pair
+    terms alone would exceed v5e VMEM.
+
+    Returns ``(types, reps)``: ``types[j]`` is the type index of window
+    group ``j`` (static python tuple, baked into the kernels' unrolled pair
+    loops), ``reps[t]`` a representative group index per type (the pack
+    keeps only those rows). Gradient flow stays exact: the kernels
+    accumulate d(term) over every group sharing a type, and autodiff
+    through the pack's gather routes each type's total back to the bias
+    table once."""
+    n = win * win
+    nw = (h // win) * (w // win)
+    npair = nw // group
+    if shift == 0:
+        # no mask: every window shares the bias-only term (existing dedup)
+        return (0,) * npair, (0,)
+    mask = np.asarray(shift_attn_mask(h, w, win, shift))
+    keys: Dict[bytes, int] = {}
+    types, reps = [], []
+    for j in range(npair):
+        key = mask[j * group:(j + 1) * group].tobytes()
+        if key not in keys:
+            keys[key] = len(keys)
+            reps.append(j)
+        types.append(keys[key])
+    return tuple(types), tuple(reps)
+
+
 def _rdg_group(nw: int, n: int) -> int:
     """Windows batched per score tile in the RDG kernel. The additive term
     masks the off-diagonal, so any group size is numerically per-window
@@ -251,6 +290,11 @@ def _pack_rdg_layer(layer_params: Dict, cfg: DRCTModelConfig,
         else:
             attn = build_attn_term(bias, h, w, win, nh, masks[shift],
                                    group=group, perm=_quadrant_perm(win))
+            # keep one term per distinct mask TYPE (see _attn_pair_types);
+            # the kernels index pairs -> types through the same static map
+            _, reps = _attn_pair_types(h, w, win, shift, group)
+            if len(reps) < attn.shape[0]:
+                attn = attn[jnp.asarray(reps)]
         attn = attn.reshape(-1, attn.shape[-1])
         # biases + LN affine as one [8, c3_p] row block
         c3_p = pk["wqkv"].shape[1]
@@ -517,11 +561,13 @@ def fused_rdg(x: jnp.ndarray, blocks: List[Dict[str, jnp.ndarray]],
         imgs //= 2
     while imgs % chains:
         chains -= 1
+    atypes = tuple(_attn_pair_types(h, w, win, s, group)[0]
+                   for s in g["shifts"])
     kernel = functools.partial(
         _rdg_kernel_impl, h=h, w=w, win=win, imgs=imgs, chains=chains,
         cs=g["feats"], cps=g["cps"], nhs=g["heads"], shifts=g["shifts"],
         c3ps=c3ps, fps=fps, cat_p=cat_p, shift_plans=shift_plans,
-        force_stable=force_stable, vext=vext)
+        atypes=atypes, force_stable=force_stable, vext=vext)
 
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
@@ -588,7 +634,7 @@ _ROLL_AT = int(os.environ.get("ADSR_TPU_RDG_ROLL_AT", "8"))
 
 
 def _rdg_kernel_impl(x_ref, *refs, h, w, win, imgs, chains, cs, cps, nhs,
-                     shifts, c3ps, fps, cat_p, shift_plans,
+                     shifts, c3ps, fps, cat_p, shift_plans, atypes,
                      force_stable=False, vext=False,
                      read_x=None, write_out=None):
     """Kernel body. refs = 5 x (wqkv, wproj, w1, w2, wadj, badj, bvec, attn)
@@ -713,7 +759,7 @@ def _rdg_kernel_impl(x_ref, *refs, h, w, win, imgs, chains, cs, cps, nhs,
                     # (unrolled) or a traced int32 (rolled); pair tiles never
                     # span images (npair_img * gn == l)
                     for j in range(npair_img):
-                        ja = 0 if shifts[k] == 0 else j
+                        ja = atypes[k][j]   # additive-term TYPE of this pair
                         rows = pl.ds(base + j * gn, gn)
                         for hh in range(nh):
                             q = qkv_scr[rows, hh * hd:hh * hd + hd]
@@ -744,9 +790,9 @@ def _rdg_kernel_impl(x_ref, *refs, h, w, win, imgs, chains, cs, cps, nhs,
                         flash_img(o + img * l)
             for j in range(0 if flash else npair):
                 rows = slice(o + j * gn, o + (j + 1) * gn)
-                # additive term: repeats per image; shift-0 blocks share ONE
-                # deduplicated term across all windows (no mask)
-                ja = 0 if shifts[k] == 0 else (j % npair_img)
+                # additive term: repeats per image and is deduplicated to
+                # its distinct mask TYPES (shift-0 blocks: one type)
+                ja = atypes[k][j % npair_img]
                 for hh in range(nh):
                     if _PROBE == "aligned0":
                         # timing-only: per-head q/k slices at lane offset 0

@@ -67,9 +67,9 @@ from jax import lax
 from jax.experimental import pallas as pl
 
 from adsr_tpu.core.config import DRCTModelConfig
-from adsr_tpu.ops.fused_rdg import (_LOG2E, _composed_shift_plan,
-                                    _pack_rdg_layer, _rdg_group, _vext_ok,
-                                    rdg_geometry)
+from adsr_tpu.ops.fused_rdg import (_LOG2E, _attn_pair_types,
+                                    _composed_shift_plan, _pack_rdg_layer,
+                                    _rdg_group, _vext_ok, rdg_geometry)
 from adsr_tpu.ops.fused_swin_block import _HAS_PLTPU, _INTERPRET
 
 if _HAS_PLTPU:
@@ -175,7 +175,12 @@ def _geom(cfg: DRCTModelConfig, h: int, w: int):
     group = _rdg_group(nw, n)
     plans = tuple(_composed_shift_plan(h, w, win, s) if s else None
                   for s in g["shifts"])
-    return g, win, n, nw, group, plans
+    # per-block pair -> additive-term-type maps (see _attn_pair_types): the
+    # packed terms keep one row-block per TYPE, so a_ref / dattn indexing
+    # goes through these static tuples
+    atypes = tuple(_attn_pair_types(h, w, win, s, group)[0]
+                   for s in g["shifts"])
+    return g, win, n, nw, group, plans, atypes
 
 
 # --------------------------------------------------------------------------- #
@@ -190,7 +195,7 @@ def _dp_col(dp_ref, idx, imgs, l):
 
 
 def _fwd_kernel(x_ref, dp_ref, *refs, h, w, win, imgs, cs, cps, nhs, shifts,
-                c3ps, fps, cat_p, shift_plans, group, exp2):
+                c3ps, fps, cat_p, shift_plans, atypes, group, exp2):
     """Each program runs ``imgs`` images ROW-STACKED (the serving kernel's
     round-3 restructure, ops/fused_rdg.py:_rdg_kernel_impl): every row-wise
     op (LN, the five big matmuls, gelu, residuals, concat add) runs ONCE
@@ -248,9 +253,9 @@ def _fwd_kernel(x_ref, dp_ref, *refs, h, w, win, imgs, cs, cps, nhs, shifts,
             ib = img * l
             for j in range(npair):
                 rows = pl.ds(ib + j * gn, gn)
-                # shift-0 blocks share ONE deduplicated additive term (no
-                # mask)
-                ja = 0 if shifts[k] == 0 else j
+                # packed terms are deduplicated to distinct mask TYPES
+                # (shift-0 blocks: one bias-only type)
+                ja = atypes[k][j]
                 for hh in range(nh):
                     q = qkv_scr[rows, hh * hd:hh * hd + hd]
                     kk = qkv_scr[rows, c + hh * hd:c + hh * hd + hd]
@@ -326,7 +331,8 @@ def _fwd_kernel(x_ref, dp_ref, *refs, h, w, win, imgs, cs, cps, nhs, shifts,
 # --------------------------------------------------------------------------- #
 
 def _bwd_kernel(dp_ref, cat_ref, g_ref, *refs, h, w, win, imgs, cs, cps,
-                nhs, shifts, c3ps, fps, cat_p, shift_plans, group, exp2):
+                nhs, shifts, c3ps, fps, cat_p, shift_plans, atypes, group,
+                exp2):
     """Per (image-group, RDG) backward, ``imgs`` images row-stacked like
     the forward. refs =
     5 x operand refs, then outputs:
@@ -334,13 +340,21 @@ def _bwd_kernel(dp_ref, cat_ref, g_ref, *refs, h, w, win, imgs, cs, cps,
       5 x (dwqkv, dwproj, dw1, dw2, dwadj, dbvec, dbadj, dattn)  (f32, accum)
     then scratches:
       dcat_scr [imgs*L, cat_p] f32, qkv_scr, win_scr f32, ctx_scr,
-      scores_scr f32, d_scr f32 (dqkv temp)
-    """
+      rs_scr f32 (per-(row, head) softmax row-sum reciprocals),
+      d_scr f32 (dqkv temp)
+
+    FLASH-STYLE SCORE RECOMPUTE: the recompute pass stores only the
+    [imgs*L, nh] row-sum reciprocals; the grad pass rebuilds each tile's
+    normalised probabilities from qkv_scr + the additive term (identical
+    f32 ops on identical staged inputs -> bitwise the recompute's values).
+    This replaces the [imgs*L*max_nh, gn] f32 score scratch — 25 MiB at the
+    256px/window-16 geometry, the difference between fitting v5e VMEM and
+    not — at the cost of one extra score matmul + exp sweep per tile."""
     ops = refs[:5 * _OPS_PER_BLOCK]
     outs = refs[5 * _OPS_PER_BLOCK:5 * _OPS_PER_BLOCK + 1 + 5 * 8]
     dx_ref = outs[0]
     douts = outs[1:]
-    (dcat_scr, qkv_scr, win_scr, ctx_scr, scores_scr,
+    (dcat_scr, qkv_scr, win_scr, ctx_scr, rs_scr,
      d_scr) = refs[5 * _OPS_PER_BLOCK + 1 + 5 * 8:]
     mm_dt = cat_ref.dtype
     n = win * win
@@ -348,7 +362,6 @@ def _bwd_kernel(dp_ref, cat_ref, g_ref, *refs, h, w, win, imgs, cs, cps,
     gn = group * n
     c0p = g_ref.shape[1]          # token refs are 2-D: [imgs*L, C]
     l = h * w
-    smax = l * max(nhs)       # score-scratch rows per image
     first = pl.program_id(0) == 0
 
     # zero-init the accumulated gradient outputs on the first program
@@ -400,19 +413,24 @@ def _bwd_kernel(dp_ref, cat_ref, g_ref, *refs, h, w, win, imgs, cs, cps,
         ctx_scr[:, :c_p] = jnp.zeros_like(ctx_scr[:, :c_p])
         npair = nw // group
         use_vext = _vext_ok(c, nh, c3_p)
+        # head -> lane mask for the row-sum-reciprocal scratch: rinv columns
+        # accumulate into a [gn, 128] register tile via where-selects and
+        # store FULL-WIDTH once per pair (single-lane VMEM stores at dynamic
+        # row offsets fault the v5e worker — round-4 bisect)
+        lane = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
         def attn_rec(img):
             ib = img * l
-            sb = img * smax
             for j in range(npair):
                 rows = pl.ds(ib + j * gn, gn)
-                # shift-0 blocks share ONE deduplicated additive term
-                ja = 0 if shifts[k] == 0 else j
+                # packed terms are deduplicated to distinct mask TYPES
+                ja = atypes[k][j]
+                rs_acc = jnp.zeros((gn, 128), jnp.float32)
                 for hh in range(nh):
                     q = qkv_scr[rows, hh * hd:hh * hd + hd]
                     kk = qkv_scr[rows, c + hh * hd:c + hh * hd + hd]
                     arow = slice((ja * nh + hh) * gn,
                                  (ja * nh + hh + 1) * gn)
-                    srow = pl.ds(sb + (j * nh + hh) * gn, gn)
                     s = _mm_a_bt(q, kk) + a_ref[arow, :]
                     if exp2:
                         # pre-folded log2e/-shift, see _fwd_kernel; the
@@ -424,24 +442,23 @@ def _bwd_kernel(dp_ref, cat_ref, g_ref, *refs, h, w, win, imgs, cs, cps,
                         p = jnp.exp(s)
                     if use_vext:
                         # row-sum via the [v_h | 1] ones column (see
-                        # _fwd_kernel); the grad loops below need the
-                        # NORMALISED probabilities, so the [gn, gn]
-                        # recip-multiply stays — only the cross-lane
-                        # reduction is traded for matmul padding slack
+                        # _fwd_kernel); only the row-sum reciprocal is
+                        # kept — the grad pass recomputes the tile
                         vo = 2 * c + hh * (hd + 1)
                         ve = qkv_scr[rows, vo:vo + hd + 1]
                         cu = _mm(p.astype(mm_dt), ve)
                         rinv = 1.0 / cu[:, hd:hd + 1]
                         ctx_scr[rows, hh * hd:(hh + 1) * hd] = \
                             (cu[:, :hd] * rinv).astype(ctx_scr.dtype)
-                        scores_scr[srow, :] = p * rinv
                     else:
-                        p = p / jnp.sum(p, axis=-1, keepdims=True)
-                        scores_scr[srow, :] = p
+                        rinv = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
+                        p = p * rinv
                         v = qkv_scr[rows,
                                     2 * c + hh * hd:2 * c + hh * hd + hd]
                         ctx_scr[rows, hh * hd:(hh + 1) * hd] = \
                             _mm(p.astype(mm_dt), v).astype(ctx_scr.dtype)
+                    rs_acc = jnp.where(lane == hh, rinv, rs_acc)
+                rs_scr[rows, :] = rs_acc
 
         _per_image(imgs, attn_rec)
         ctx = ctx_scr[:, :c_p].astype(mm_dt)
@@ -503,18 +520,29 @@ def _bwd_kernel(dp_ref, cat_ref, g_ref, *refs, h, w, win, imgs, cs, cps,
 
         def attn_grad(img):
             ib = img * l
-            sb = img * smax
             for j in range(npair):
                 rows = pl.ds(ib + j * gn, gn)
-                # dattn accumulates over pairs for shift-0 blocks (their
-                # term is broadcast over windows, so its gradient is the
-                # pair sum) — and over images always
-                ja = 0 if shifts[k] == 0 else j
+                # dattn accumulates over every pair sharing a mask TYPE
+                # (the term is broadcast over those windows, so its
+                # gradient is the pair sum) — and over images always
+                ja = atypes[k][j]
+                # one full-width read per pair; per-head lanes slice the
+                # register value (not the ref — see attn_rec's store note)
+                rsj = rs_scr[rows, :]
                 for hh in range(nh):
                     arow = slice((ja * nh + hh) * gn,
                                  (ja * nh + hh + 1) * gn)
-                    srow = pl.ds(sb + (j * nh + hh) * gn, gn)
-                    p = scores_scr[srow, :]
+                    q = qkv_scr[rows, hh * hd:hh * hd + hd]
+                    kk = qkv_scr[rows, c + hh * hd:c + hh * hd + hd]
+                    # flash-style probability recompute: identical f32 ops
+                    # on the same staged qkv rows as attn_rec, scaled by
+                    # the stored row-sum reciprocal
+                    s = _mm_a_bt(q, kk) + a_ref[arow, :]
+                    if exp2:
+                        p = jnp.exp2(s)
+                    else:
+                        p = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
+                    p = p * rsj[:, hh:hh + 1]
                     dctx_h = win_scr[rows, hh * hd:(hh + 1) * hd]
                     # v lanes follow the pack layout: stride hd+1 under vext
                     # (the ones column's gradient is dropped by the pack —
@@ -534,8 +562,6 @@ def _bwd_kernel(dp_ref, cat_ref, g_ref, *refs, h, w, win, imgs, cs, cps,
                         # k path needs it outright
                         ds = ds * 0.6931471805599453
                     dattn_o[arow, :] += ds
-                    q = qkv_scr[rows, hh * hd:hh * hd + hd]
-                    kk = qkv_scr[rows, c + hh * hd:c + hh * hd + hd]
                     dq = _mm(ds.astype(mm_dt), kk)
                     dk = _mm_at_b(ds.astype(mm_dt), q)
                     d_scr[rows, hh * hd:hh * hd + hd] += dq
@@ -618,7 +644,7 @@ def _train_imgs(b: int, l: int, bwd: bool = False) -> int:
 
 def _rdg_train_fwd_call(cfg_key, h, w, exp2, x, dp, *ops):
     cfg = _cfg_from_key(cfg_key)
-    g, win, n, nw, group, plans = _geom(cfg, h, w)
+    g, win, n, nw, group, plans, atypes = _geom(cfg, h, w)
     b, l, c0p = x.shape
     cat_p = g["cat_p"]
     c3ps = tuple(ops[_OPS_PER_BLOCK * k].shape[1] for k in range(5))
@@ -628,7 +654,8 @@ def _rdg_train_fwd_call(cfg_key, h, w, exp2, x, dp, *ops):
     kernel = functools.partial(
         _fwd_kernel, h=h, w=w, win=win, imgs=imgs, cs=g["feats"],
         cps=g["cps"], nhs=g["heads"], shifts=g["shifts"], c3ps=c3ps,
-        fps=fps, cat_p=cat_p, shift_plans=plans, group=group, exp2=exp2)
+        fps=fps, cat_p=cat_p, shift_plans=plans, atypes=atypes,
+        group=group, exp2=exp2)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     # token arrays enter/leave the kernels 2-D ([B*L, C], an image-group per
     # block) so the rolled per-image loops can pl.ds-index them directly
@@ -672,20 +699,20 @@ def _rdg_train_fwd(cfg_key, h, w, exp2, x, dp, *ops):
 def _rdg_train_bwd(cfg_key, h, w, exp2, res, g):
     dp, cat, ops = res
     cfg = _cfg_from_key(cfg_key)
-    geo, win, n, nw, group, plans = _geom(cfg, h, w)
+    geo, win, n, nw, group, plans, atypes = _geom(cfg, h, w)
     l = h * w
     b = cat.shape[0] // l         # cat is the fwd kernel's 2-D [B*L, cat_p]
     c0p = geo["cps"][0]
     cat_p = geo["cat_p"]
     c3ps = tuple(ops[_OPS_PER_BLOCK * k].shape[1] for k in range(5))
     fps = tuple(ops[_OPS_PER_BLOCK * k + 2].shape[1] for k in range(5))
-    max_nh = max(geo["heads"])
 
     imgs = _train_imgs(b, l, bwd=True)
     kernel = functools.partial(
         _bwd_kernel, h=h, w=w, win=win, imgs=imgs, cs=geo["feats"],
         cps=geo["cps"], nhs=geo["heads"], shifts=geo["shifts"], c3ps=c3ps,
-        fps=fps, cat_p=cat_p, shift_plans=plans, group=group, exp2=exp2)
+        fps=fps, cat_p=cat_p, shift_plans=plans, atypes=atypes,
+        group=group, exp2=exp2)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     acc = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
 
@@ -701,7 +728,7 @@ def _rdg_train_bwd(cfg_key, h, w, exp2, res, g):
             out_shapes.append(jax.ShapeDtypeStruct(shp, jnp.float32))
             out_specs.append(acc())
 
-    outs = pl.pallas_call(
+    outs_call = pl.pallas_call(
         kernel,
         grid=(b // imgs,),
         in_specs=[pl.BlockSpec((imgs, 1, 128), lambda i: (i, 0, 0),
@@ -719,22 +746,31 @@ def _rdg_train_bwd(cfg_key, h, w, exp2, res, g):
             pltpu.VMEM((imgs * l, max(geo["cps"])),
                        jnp.float32),                        # staging/gather
             pltpu.VMEM((imgs * l, max(geo["cps"])), cat.dtype),  # ctx
-            pltpu.VMEM((imgs * l * max_nh, group * n), jnp.float32),
+            pltpu.VMEM((imgs * l, 128), jnp.float32),       # rowsum recips
             pltpu.VMEM((imgs * l, max(c3ps)), jnp.float32),  # dqkv temp
         ],
         compiler_params=(pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024)
             if _HAS_PLTPU and not _INTERPRET else None),
         interpret=_INTERPRET,
-    )(jnp.pad(dp, ((0, 0), (0, 128 - dp.shape[1])))[:, None, :], cat,
-      # barrier: a compile-time-CONSTANT cotangent (e.g. a pure-sum loss,
-      # whose dL/dout is independent of params/x) lets XLA constant-fold
-      # the custom-call operand, which faults the TPU worker (reproduced
-      # on v5e; constant runtime VALUES through a non-constant program run
-      # fine — scripts/bench_fused_train_hw.py stage_gradonly's
-      # ADSR_GRADONLY_HR_CONST A/B). The barrier keeps g a materialized
-      # runtime buffer with the default layout.
-      lax.optimization_barrier(g).reshape(b * l, c0p), *ops)
+    )
+    # Sum-shaped-cotangent guard: when dL/d(out) is a broadcast of ONE
+    # scalar (a pure-sum loss — no shipped loss, but the 'w*NAME+…' spec
+    # surface invites extensions), XLA builds the module around the custom
+    # call in a form that faults the v5e worker (bisected round 3:
+    # value-constant cotangents through a non-constant program run fine, a
+    # plain optimization_barrier on g does not help, and the flax/XLA model
+    # under the same loss passes — scripts/bench_fused_train_hw.py
+    # stage_gradonly's ADSR_GRADONLY_* switches). Adding a runtime-OPAQUE
+    # all-zero tensor (the barrier hides that it is zero) forces the
+    # cotangent operand to be a dense, default-layout buffer for ANY loss
+    # shape; the add costs one [B*L, c0p] VPU pass per RDG (<0.5% of the
+    # step, measured in the round-4 full-step capture).
+    gdense = g.reshape(b * l, c0p) + lax.optimization_barrier(
+        jnp.zeros((b * l, c0p), cat.dtype)).astype(g.dtype)
+    outs = outs_call(
+        jnp.pad(dp, ((0, 0), (0, 128 - dp.shape[1])))[:, None, :], cat,
+        gdense, *ops)
 
     dx = outs[0].reshape(b, l, c0p)
     dops_raw = outs[1:]

@@ -54,13 +54,17 @@ class TrainState(struct.PyTreeNode):
 # (ops/fused_rdg_train.py): its 41 VMEM-resident outputs need ~46 MiB of
 # custom-call staging vs the ~16 MiB default.  Any jit that inlines the fused
 # train step (e.g. bench.py's chained-scan loop) must carry these options.
-# Env-overridable (ADSR_TPU_SCOPED_VMEM_KIB) for stacked-backward A/Bs: the
-# 2-image backward needs ~102 MiB (v5e VMEM is 128 MiB total).  NOTE: the env
-# var is read ONCE at import — set it before importing the trainer.
+# Default 64 MiB: 96 MiB OVERCOMMITS physical VMEM once the step sits inside
+# a lax.scan (XLA places scan carries/double-buffers in VMEM on top of the
+# scoped budget) and the v5e worker faults at runtime instead of erroring at
+# compile — round-4 bisect: 12 RDGs x batch 16 x scan>=2 crashed at 98304,
+# runs at 65536 (scripts/repro_bwd.py).  Env-overridable
+# (ADSR_TPU_SCOPED_VMEM_KIB) for stacked-backward A/Bs.  NOTE: the env var is
+# read ONCE at import — set it before importing the trainer.
 
 
 def _scoped_vmem_kib() -> int:
-    raw = os.environ.get("ADSR_TPU_SCOPED_VMEM_KIB", "98304")
+    raw = os.environ.get("ADSR_TPU_SCOPED_VMEM_KIB", "65536")
     try:
         kib = int(raw)
     except ValueError:

@@ -28,7 +28,11 @@ def _exp(batch):
 
     from adsr_tpu.core.config import drct_experiment
 
-    exp = drct_experiment(classe="grid", resolution=128, scale=4,
+    # ADSR_BENCH_RES=256 switches every stage to the 256px/window-16
+    # geometry (img_size 64, L=4096 — the reference's best-AUC config,
+    # src/main.py:243-294); default is the 128px flagship
+    res = int(os.environ.get("ADSR_BENCH_RES", "128"))
+    exp = drct_experiment(classe="grid", resolution=res, scale=4,
                           precision="bf16")
     return dataclasses.replace(
         exp, data=dataclasses.replace(exp.data, batch_size=batch))
@@ -64,7 +68,8 @@ def stage_parity():
     exp = _exp(4)
     model = make_model(exp.model, exp.precision)
     params, _ = init_sr_params(exp.model, jax.random.key(0), exp.precision)
-    x = jax.random.uniform(jax.random.key(1), (4, 32, 32, 1),
+    n = exp.model.img_size
+    x = jax.random.uniform(jax.random.key(1), (4, n, n, 1),
                            jnp.float32, 0.0, 255.0)
 
     ref = jax.jit(lambda p, x: model.apply({"params": p}, x,
@@ -95,7 +100,8 @@ def stage_fwdonly(batch: int = 16):
 
     exp = _exp(batch)
     params, _ = init_sr_params(exp.model, jax.random.key(0), exp.precision)
-    x = jax.random.uniform(jax.random.key(1), (batch, 32, 32, 1),
+    n, s = exp.model.img_size, exp.model.upscale
+    x = jax.random.uniform(jax.random.key(1), (batch, n, n, 1),
                            jnp.float32, 0.0, 255.0)
     rng = jax.random.key(2)
     k = 10
@@ -108,7 +114,7 @@ def stage_fwdonly(batch: int = 16):
                 params, exp.model, x, rng=jax.random.fold_in(rng, i),
                 deterministic=False, dtype=jnp.bfloat16)
             nxt = jnp.clip(
-                o.reshape(batch, 32, 4, 32, 4, 1).mean(axis=(2, 4)),
+                o.reshape(batch, n, s, n, s, 1).mean(axis=(2, 4)),
                 0.0, 255.0)
             return nxt, jnp.sum(o)
         x, sums = lax.scan(body, x, jnp.arange(k))
@@ -137,13 +143,14 @@ def stage_gradonly(batch: int = 16):
 
     exp = _exp(batch)
     params, _ = init_sr_params(exp.model, jax.random.key(0), exp.precision)
-    x = jax.random.uniform(jax.random.key(1), (batch, 32, 32, 1),
+    n, s = exp.model.img_size, exp.model.upscale
+    x = jax.random.uniform(jax.random.key(1), (batch, n, n, 1),
                            jnp.float32, 0.0, 255.0)
     # ADSR_GRADONLY_HR_CONST=1: shift hr far above the output range so the
     # L1 cotangent is VALUE-constant (sign(o-hr) = -1 everywhere) under the
     # identical program — distinguishes value- from program-sensitivity of
     # the constant-cotangent worker fault (see stage docstring)
-    hr = jax.random.uniform(jax.random.key(3), (batch, 128, 128, 1),
+    hr = jax.random.uniform(jax.random.key(3), (batch, n * s, n * s, 1),
                             jnp.float32, 0.0, 255.0)
     if os.environ.get("ADSR_GRADONLY_HR_CONST") == "1":
         hr = hr + 1e9
@@ -186,7 +193,7 @@ def stage_gradonly(batch: int = 16):
             gsum = sum(jnp.sum(jnp.abs(g))
                        for g in jax.tree_util.tree_leaves(grads))
             nxt = jnp.clip(
-                o.reshape(batch, 32, 4, 32, 4, 1).mean(axis=(2, 4)),
+                o.reshape(batch, n, s, n, s, 1).mean(axis=(2, 4)),
                 0.0, 255.0)
             return nxt, val + gsum * 0.0
         x, sums = lax.scan(body, x, jnp.arange(k))

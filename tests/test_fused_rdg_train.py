@@ -129,6 +129,76 @@ def test_train_grads_rolled_loops_match_flax(monkeypatch):
                                    err_msg=jax.tree_util.keystr(path))
 
 
+# 3x3 window grid: the shifted blocks' 9 per-window additive terms collapse
+# to 4 distinct mask types (interior / right-column / bottom-row / corner,
+# ops/fused_rdg.py:_attn_pair_types) — REAL dedup (types < pairs), unlike
+# CFG's 2x2 grid where every window is its own type
+CFG_DEDUP = DRCTModelConfig(upscale=2, img_size=12, window_size=4,
+                            in_chans=1, embed_dim=12, num_layers=1,
+                            num_heads=2, gc=4, scan_layers=True)
+
+
+def test_attn_pair_types_dedup():
+    from adsr_tpu.ops.fused_rdg import _attn_pair_types, _rdg_group
+    # 3x3 grid of window-4 windows, group 1 (9 is odd): 4 distinct types
+    types, reps = _attn_pair_types(12, 12, 4, 2, 1)
+    assert len(types) == 9 and len(reps) == 4
+    assert len(set(types)) == 4
+    # every group's mask must equal its representative's mask
+    from adsr_tpu.models.drct import shift_attn_mask
+    mask = np.asarray(shift_attn_mask(12, 12, 4, 2))
+    for j, t in enumerate(types):
+        np.testing.assert_array_equal(mask[j], mask[reps[t]])
+    # shift-0: one bias-only type
+    types0, reps0 = _attn_pair_types(12, 12, 4, 0, 1)
+    assert set(types0) == {0} and reps0 == (0,)
+    # 256px/window-16 geometry (h=w=64): 16 windows, group 1, 4 types
+    assert _rdg_group(16, 256) == 1
+    types16, reps16 = _attn_pair_types(64, 64, 16, 8, 1)
+    assert len(types16) == 16 and len(set(types16)) == 4
+
+
+def test_train_forward_dedup_geometry_matches_flax():
+    # forward parity at a geometry where the attn-term dedup is non-trivial
+    model, params, x = _setup(CFG_DEDUP)
+    want = np.asarray(model.apply({"params": params}, x))
+    got = np.asarray(fused_drct_train_forward(params, CFG_DEDUP, x,
+                                              deterministic=True,
+                                              dtype=jnp.float32))
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_train_grads_dedup_geometry_match_flax():
+    # gradient parity with REAL attn-term dedup: the kernels accumulate
+    # d(term) across the pairs sharing each mask type, and autodiff through
+    # the pack's representative-row gather must still recover the exact
+    # bias-table gradient (sum over ALL windows)
+    model, params, x = _setup(CFG_DEDUP)
+    hr = jnp.asarray(np.random.RandomState(1).rand(*(
+        x.shape[0], x.shape[1] * CFG_DEDUP.upscale,
+        x.shape[2] * CFG_DEDUP.upscale, x.shape[3])) * 255, jnp.float32)
+
+    def loss_flax(p):
+        return jnp.mean(jnp.abs(model.apply({"params": p}, x) - hr))
+
+    def loss_fused(p):
+        sr = fused_drct_train_forward(p, CFG_DEDUP, x, deterministic=True,
+                                      dtype=jnp.float32)
+        return jnp.mean(jnp.abs(sr - hr))
+
+    lw, gw = jax.value_and_grad(loss_flax)(params)
+    lf, gf = jax.value_and_grad(loss_fused)(params)
+    np.testing.assert_allclose(float(lf), float(lw), rtol=1e-4)
+    flat_w = jax.tree_util.tree_leaves_with_path(gw)
+    flat_f = dict(jax.tree_util.tree_leaves_with_path(gf))
+    for path, leaf_w in flat_w:
+        a, b = np.asarray(leaf_w), np.asarray(flat_f[path])
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b, a, atol=2e-3 * scale, rtol=2e-2,
+                                   err_msg=jax.tree_util.keystr(path))
+
+
 def test_train_forward_bf16_path_parity():
     # the hardware train path packs and computes in bf16 — run those exact
     # numerics (bf16 operands, f32 LN/softmax internals) in interpret mode
@@ -181,6 +251,35 @@ def test_train_grads_bf16_exp2_path(monkeypatch):
         # same-sign-and-order sanity bound
         tol = 0.08 if "'rdgs'" in key else 0.6
         np.testing.assert_allclose(b, a, atol=tol * scale, err_msg=key)
+
+
+@pytest.mark.slow
+def test_train_grads_pure_sum_loss():
+    # regression for the round-3 "sum-shaped cotangent" hardware fault: a
+    # loss whose dL/d(out) is a broadcast of one scalar must produce correct
+    # gradients through the fused path (the bwd wrapper now densifies the
+    # cotangent with a runtime-opaque zero — ops/fused_rdg_train.py
+    # _rdg_train_bwd). Interpret mode checks numerics; the hardware twin is
+    # scripts/bench_fused_train_hw.py gradonly with ADSR_GRADONLY_SUM=1.
+    model, params, x = _setup(CFG)
+
+    def loss_flax(p):
+        return jnp.sum(model.apply({"params": p}, x)) * 1e-6
+
+    def loss_fused(p):
+        return jnp.sum(fused_drct_train_forward(
+            p, CFG, x, deterministic=True, dtype=jnp.float32)) * 1e-6
+
+    lw, gw = jax.value_and_grad(loss_flax)(params)
+    lf, gf = jax.value_and_grad(loss_fused)(params)
+    np.testing.assert_allclose(float(lf), float(lw), rtol=1e-4)
+    flat_w = jax.tree_util.tree_leaves_with_path(gw)
+    flat_f = dict(jax.tree_util.tree_leaves_with_path(gf))
+    for path, leaf_w in flat_w:
+        a, b = np.asarray(leaf_w), np.asarray(flat_f[path])
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b, a, atol=2e-3 * scale, rtol=2e-2,
+                                   err_msg=jax.tree_util.keystr(path))
 
 
 def test_train_score_bound_guard():
@@ -276,8 +375,9 @@ def test_train_forward_droppath_zero_branch():
 
 
 def test_fused_train_geometry_gate(monkeypatch):
-    # beyond the validated 128px geometry (L = img_size^2 = 1024) the
-    # backward kernel's scratches + dW staging exceed v5e VMEM, so
+    # the fused train kernels are validated through L = img_size^2 = 4096
+    # (256px/window-16, round 4's attn-term dedup + flash score recompute);
+    # past that the backward's scratches exceed v5e VMEM and
     # make_train_step must fall back to the XLA path ('force' keeps the
     # kernels for interpret tests; '1' respects the gate)
     import dataclasses
@@ -298,12 +398,12 @@ def test_fused_train_geometry_gate(monkeypatch):
     from adsr_tpu.train.trainer import _fused_train_geom_ok
 
     assert bundle_for(8, "force").use_fused_train
-    assert bundle_for(64, "force").use_fused_train     # interpret: no VMEM
-    assert not bundle_for(64, "1").use_fused_train     # L=4096 > budget
+    assert bundle_for(128, "force").use_fused_train    # interpret: no VMEM
+    assert not bundle_for(128, "1").use_fused_train    # L=16384 > budget
     # the geometry rule itself (the '1' case above also fails the backend
     # check on CPU, so pin the rule directly)
-    assert _fused_train_geom_ok(dataclasses.replace(CFG, img_size=32))
-    assert not _fused_train_geom_ok(dataclasses.replace(CFG, img_size=64))
+    assert _fused_train_geom_ok(dataclasses.replace(CFG, img_size=64))
+    assert not _fused_train_geom_ok(dataclasses.replace(CFG, img_size=128))
 
 
 def test_fused_train_step_matches_xla_step(monkeypatch):
