@@ -15,8 +15,11 @@ from pathlib import Path
 
 def main(argv=None):
     p = argparse.ArgumentParser(description="MVTec AD dataset preparation")
+    # 512 is a superset of the reference tool's 256/128/64/32
+    # (scripts/prepare_mvtec_data.py:6): BASELINE.md's best grid row is
+    # 512px/x8, which the reference feeds from a pre-sized tree instead
     p.add_argument("--hr-size", type=int, default=128,
-                   choices=[256, 128, 64, 32])
+                   choices=[512, 256, 128, 64, 32])
     p.add_argument("--scales", type=str, default="4",
                    help="Comma-separated downscale factors: 4,8")
     p.add_argument("--val-ratio", type=float, default=0.1)
@@ -32,6 +35,12 @@ def main(argv=None):
     p.add_argument("--no-clean", action="store_true",
                    help="keep existing target classes (default wipes the "
                         "target dir, matching the reference prep tool)")
+    p.add_argument("--layout", type=str, default="mvtec",
+                   choices=["mvtec", "gkd"],
+                   help="'gkd' writes train under "
+                        "{classe}/train/HR_{hr-size} — the path the train "
+                        "CLI derives for --dataset gkd (core/config.py); "
+                        "val/test keep the shared good/bad convention")
     args = p.parse_args(argv)
 
     from adsr_tpu.data.prepare import (expand_scales, prepare_mvtec_dataset,
@@ -59,17 +68,20 @@ def main(argv=None):
         print(f"ERROR: Source data not found at {args.source}")
         return 1
 
-    target = args.target or f"data/mvtec_{args.hr_size}"
+    target = args.target or (f"data/mvtec_{args.hr_size}"
+                             if args.layout == "mvtec" else "workspace/gkd")
     scale_factors = expand_scales(user_scales)
     print(f"Preparing {classes} at HR {args.hr_size} with LR scales "
-          f"{scale_factors} -> {target}")
+          f"{scale_factors} -> {target} ({args.layout} layout)")
     prepare_mvtec_dataset(args.source, target, classes=classes,
                           scale_factors=scale_factors,
                           target_hr=(args.hr_size, args.hr_size),
                           val_ratio=args.val_ratio, seed=args.seed,
                           use_native=args.use_native,
-                          clean=not args.no_clean)
-    report = verify_dataset_structure(target, classes=classes)
+                          clean=not args.no_clean, layout=args.layout)
+    report = verify_dataset_structure(target, classes=classes,
+                                      layout=args.layout,
+                                      hr_size=args.hr_size)
     for classe, counts in report.items():
         print(f"  {classe}: " + ", ".join(f"{k}={v}" for k, v in counts.items()))
     print("Dataset preparation complete!")

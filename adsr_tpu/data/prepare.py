@@ -84,9 +84,17 @@ def prepare_mvtec_dataset(source_base: str = "data/mvtec",
                           target_hr: Tuple[int, int] = (128, 128),
                           val_ratio: float = 0.1, seed: int = 42,
                           clean: bool = True,
-                          use_native: bool = False) -> None:
+                          use_native: bool = False,
+                          layout: str = "mvtec") -> None:
     """use_native switches to the C++ decode+Lanczos path (threadable, within
-    1 LSB of PIL); default stays PIL for byte parity with reference prep."""
+    1 LSB of PIL); default stays PIL for byte parity with reference prep.
+
+    ``layout='gkd'`` writes the train split under the GKD path convention
+    the train CLI derives for ``--dataset gkd`` —
+    ``{classe}/train/HR_{resolution}/{HR,LR_s}`` (core/config.py
+    _dataset_paths; reference notebooks/test.ipynb "GKD Dataset
+    Preparation" builds this tree from the private part scans). val/test
+    keep the shared {split}/{good,bad} convention every evaluator reads."""
     src, dst = Path(source_base), Path(target_base)
     if clean and dst.exists():
         shutil.rmtree(dst)
@@ -104,7 +112,10 @@ def prepare_mvtec_dataset(source_base: str = "data/mvtec",
             if len(files) > 1 and val_ratio > 0:
                 val_size = max(1, val_size)
             val_files, train_files = files[:val_size], files[val_size:]
-            _save_pairs(train_files, dst / classe / "train" / "good",
+            train_dst = (dst / classe / "train" / "good"
+                         if layout == "mvtec"
+                         else dst / classe / "train" / f"HR_{target_hr[0]}")
+            _save_pairs(train_files, train_dst,
                         scale_factors, target_hr, use_native=use_native)
             _save_pairs(val_files, dst / classe / "val" / "good",
                         scale_factors, target_hr, use_native=use_native)
@@ -125,13 +136,17 @@ def prepare_mvtec_dataset(source_base: str = "data/mvtec",
 
 
 def verify_dataset_structure(base_dir: str,
-                             classes: Sequence[str] = ("carpet", "grid")) -> dict:
+                             classes: Sequence[str] = ("carpet", "grid"),
+                             layout: str = "mvtec",
+                             hr_size: int = 128) -> dict:
     """Count images per split; returns {classe: {split: count}}."""
     base = Path(base_dir)
+    train_split = ("train/good" if layout == "mvtec"
+                   else f"train/HR_{hr_size}")
     report = {}
     for classe in classes:
         counts = {}
-        for split in ("train/good", "val/good", "test/good", "test/bad"):
+        for split in (train_split, "val/good", "test/good", "test/bad"):
             hr = base / classe / split / "HR"
             counts[split] = len(list(hr.glob("*.png"))) if hr.exists() else 0
         report[classe] = counts
