@@ -45,6 +45,18 @@ from jax import lax
 
 H100_REF_IMGS_PER_SEC = 250.0   # anchored: see docstring + scripts/anchor_baseline.py
 V5E_BF16_PEAK = 197e12          # dense bf16 FLOP/s per v5e chip
+
+# per-family anchors + useful-FLOP constants (scripts/anchor_baseline.py,
+# round 4: JAX XLA cost analysis of the scan-UNROLLED rebuilds — exact, the
+# scanned configs under-report because cost analysis counts a scan body once)
+H100_REF_DRCT256 = 246.0        # launch-bound like 128px (same 3250 ops)
+H100_REF_DRN = 972.0            # 823 ops -> 4x the 243 img/s batch-1 bound
+H100_REF_EAD = 4759.0           # compute-bound already at batch 1 (62 ops);
+                                # anchor capped at the granted-batch-16 rate
+DRCT128_FWD_FLOPS = 62.88e9     # per image (the 63e9 used since round 1)
+DRCT256_FWD_FLOPS = 298.15e9
+DRN_TRAIN_FLOPS = 146.17e9      # per image, whole jitted step (fwd+bwd+Adam)
+EAD_TRAIN_FLOPS = 317.71e9      # per image, whole jitted step
 BATCH = 128     # throughput-optimal (batch 32: -9%, batch 64: -4%)
 K = 10          # chained iterations per timed call
 TRAIN_BATCH = 16
@@ -138,7 +150,8 @@ def bench_serving(exp, repeats=REPEATS, batch=BATCH):
     return batch / best, spread
 
 
-def bench_train(exp):
+def bench_train(exp, batch: int = TRAIN_BATCH,
+                fwd_flops: float = DRCT128_FWD_FLOPS):
     """Training-step throughput + MFU: the real jitted train step (loss,
     grads, Adam update) chained in one scan so no dispatch can be elided."""
     import dataclasses
@@ -146,22 +159,24 @@ def bench_train(exp):
     from adsr_tpu.train.trainer import make_train_step
 
     exp = dataclasses.replace(
-        exp, data=dataclasses.replace(exp.data, batch_size=TRAIN_BATCH))
+        exp, data=dataclasses.replace(exp.data, batch_size=batch))
     bundle = make_train_step(exp)
     step, init_state = bundle.raw_step, bundle.init_state
     state = init_state(jax.random.key(0))
 
-    hr = jax.random.uniform(jax.random.key(2), (TRAIN_BATCH, 128, 128, 1),
+    res = exp.data.resolution
+    lr_size = res // max(exp.data.scale)
+    hr = jax.random.uniform(jax.random.key(2), (batch, res, res, 1),
                             jnp.float32, 0.0, 255.0)
-    lr = jax.random.uniform(jax.random.key(3), (TRAIN_BATCH, 32, 32, 1),
+    lr = jax.random.uniform(jax.random.key(3), (batch, lr_size, lr_size, 1),
                             jnp.float32, 0.0, 255.0)
     rng = jax.random.key(4)
 
-    # analytic: fwd 63 GFLOP/img, bwd ~2x fwd, +1 fwd of recompute (XLA remat
-    # on the plain path; in-kernel flash-style recompute on the fused path —
-    # same 4x either way, so MFU is comparable across paths)
+    # analytic: fwd GFLOP/img per geometry, bwd ~2x fwd, +1 fwd of recompute
+    # (XLA remat on the plain path; in-kernel flash-style recompute on the
+    # fused path — same 4x either way, so MFU is comparable across paths)
     # (XLA cost analysis under-counts lax.scan bodies, so not usable here)
-    step_flops = TRAIN_BATCH * 63e9 * 4.0
+    step_flops = batch * fwd_flops * 4.0
 
     @functools.partial(jax.jit, compiler_options=bundle.compiler_options)
     def loop(state, lr, hr):
@@ -179,7 +194,7 @@ def bench_train(exp):
     float(loop(state, lr, hr))  # warm
     best, _ = _timed_best(lambda: float(loop(state, lr, hr)),
                           TRAIN_K, REPEATS_AUX)
-    imgs = TRAIN_BATCH / best
+    imgs = batch / best
     mfu = (step_flops / best / V5E_BF16_PEAK * 100.0) if step_flops else None
     return imgs, mfu
 
@@ -243,7 +258,9 @@ def bench_drn():
     float(tloop(state, lrs, hr))
     best, _ = _timed_best(lambda: float(tloop(state, lrs, hr)),
                           TRAIN_K, REPEATS_AUX)
-    return serve, TRAIN_BATCH / best
+    train_imgs = TRAIN_BATCH / best
+    train_mfu = train_imgs * DRN_TRAIN_FLOPS / V5E_BF16_PEAK * 100.0
+    return serve, train_imgs, train_mfu
 
 
 def bench_efficientad():
@@ -303,7 +320,9 @@ def bench_efficientad():
         t0 = time.perf_counter()
         float(tloop(*args))
         times.append((time.perf_counter() - t0) / TRAIN_K)
-    return serve, bt / min(times)
+    train_imgs = bt / min(times)
+    train_mfu = train_imgs * EAD_TRAIN_FLOPS / V5E_BF16_PEAK * 100.0
+    return serve, train_imgs, train_mfu
 
 
 def main() -> None:
@@ -334,14 +353,14 @@ def main() -> None:
         train_imgs, train_mfu = None, None
         _warn("bench_train", e)
     try:
-        drn_serve, drn_train = bench_drn()
+        drn_serve, drn_train, drn_mfu = bench_drn()
     except Exception as e:
-        drn_serve, drn_train = None, None
+        drn_serve, drn_train, drn_mfu = None, None, None
         _warn("bench_drn", e)
     try:
-        ead_serve, ead_train = bench_efficientad()
+        ead_serve, ead_train, ead_mfu = bench_efficientad()
     except Exception as e:
-        ead_serve, ead_train = None, None
+        ead_serve, ead_train, ead_mfu = None, None, None
         _warn("bench_efficientad", e)
     try:
         # the reference's best-AUC geometry (256px HR, window 16, N=256 —
@@ -352,6 +371,15 @@ def main() -> None:
     except Exception as e:
         drct256 = None
         _warn("bench_drct256", e)
+    try:
+        # round 4: the 256px geometry TRAINS on the fused custom-VJP
+        # kernels too (attention-term dedup + flash backward brought
+        # L=4096 inside v5e VMEM — ops/fused_rdg_train.py)
+        train256_imgs, train256_mfu = bench_train(
+            exp256, batch=8, fwd_flops=DRCT256_FWD_FLOPS)
+    except Exception as e:
+        train256_imgs, train256_mfu = None, None
+        _warn("bench_train256", e)
 
     out = {
         "metric": f"DRCT x4 @128px HR inference (batch {BATCH}, bf16, "
@@ -369,12 +397,24 @@ def main() -> None:
             out["train_mfu_pct"] = round(train_mfu, 1)
     if drn_serve is not None:
         out["drn_imgs_per_sec"] = round(drn_serve, 2)
+        out["drn_vs_baseline"] = round(drn_serve / H100_REF_DRN, 3)
         out["drn_train_imgs_per_sec"] = round(drn_train, 2)
+        out["drn_train_mfu_pct"] = round(drn_mfu, 1)
     if ead_serve is not None:
         out["ead_imgs_per_sec"] = round(ead_serve, 2)
+        # EfficientAD is compute-bound even in the reference's eager loop
+        # (62 dispatches/forward), so this family's per-chip ratio tracks
+        # the raw H100:v5e peak gap (5.0x) more than software quality —
+        # the MFU keys are the meaningful efficiency statement
+        out["ead_vs_baseline"] = round(ead_serve / H100_REF_EAD, 3)
         out["ead_train_imgs_per_sec"] = round(ead_train, 2)
+        out["ead_train_mfu_pct"] = round(ead_mfu, 1)
     if drct256 is not None:
         out["drct256_imgs_per_sec"] = round(drct256, 2)
+        out["drct256_vs_baseline"] = round(drct256 / H100_REF_DRCT256, 3)
+    if train256_imgs is not None:
+        out["train256_imgs_per_sec"] = round(train256_imgs, 2)
+        out["train256_mfu_pct"] = round(train256_mfu, 1)
     print(json.dumps(out))
 
 

@@ -66,6 +66,17 @@ class TestChannels:
         got = rgb_to_ycbcr_y(img)
         np.testing.assert_allclose(got, want, atol=1e-3)
 
+    def test_matches_itu_oracle(self):
+        # skimage is absent in the TPU image (the test above skips there);
+        # pin the luma transform against the ITU-R BT.601 definition
+        # directly — the SAME formula skimage.color.rgb2ycbcr implements
+        # (Y' = 16 + (65.481 R + 128.553 G + 24.966 B), R/G/B in [0,1])
+        img = np.random.RandomState(0).randint(0, 256, (16, 16, 3), np.uint8)
+        rgb = img.astype(np.float64) / 255.0
+        want = (16.0 + 65.481 * rgb[..., 0] + 128.553 * rgb[..., 1]
+                + 24.966 * rgb[..., 2])
+        np.testing.assert_allclose(rgb_to_ycbcr_y(img), want, atol=1e-3)
+
     def test_set_channel_rules(self):
         rgb = np.random.RandomState(0).randint(0, 256, (8, 8, 3), np.uint8)
         assert set_channel(rgb, 1).shape == (8, 8, 1)
