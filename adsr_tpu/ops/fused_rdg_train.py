@@ -110,6 +110,64 @@ def _per_image(imgs: int, body) -> None:
         lax.fori_loop(0, imgs, lambda i, c: (body(i), c)[1], jnp.int32(0))
 
 
+# Roll the per-(window-pair) attention loops at/above this many pairs. The
+# 256px/window-16 geometry has npair=16: fully unrolled that is 96 (pair,
+# head) tile bodies PER BLOCK in each of attn_rec and attn_grad — the
+# backward kernel's Mosaic compile blows past 40 minutes. Rolled, the
+# instruction count is constant in npair. 128px (npair=8) stays unrolled —
+# identical kernel to the validated one, and the compile cache keys stay
+# warm.
+_PAIR_ROLL_AT = int(os.environ.get("ADSR_TPU_TRAIN_PAIR_ROLL_AT", "12"))
+
+
+def _pair_roll_plan(h, w, win, shift, group, atypes_k):
+    """Arithmetic pair->type lookup for ROLLED pair loops, or None.
+
+    A traced loop index cannot read the static ``atypes`` tuple, so the
+    rolled path derives the type from the pair index. That works for the
+    two patterns that actually occur: shift-0 blocks (one bias-only type)
+    and the canonical half-window-shift mask structure interior /
+    right-column / bottom-row / corner laid out row-major with ``group``
+    dividing the windows-per-row (then type = 2*(last window-row) +
+    (last group-of-the-row), ordered exactly as _attn_pair_types's
+    first-seen numbering). Any other pattern returns None and the caller
+    keeps the unrolled loop with the static tuple."""
+    if shift == 0:
+        return ("const0",)
+    nw_w, nw_h = w // win, h // win
+    if group <= 0 or nw_w % group:
+        return None
+    gpr = nw_w // group          # groups per window-row
+    npair = (nw_w * nw_h) // group
+    expected = tuple(2 * int(j // gpr == nw_h - 1)
+                     + int(j % gpr == gpr - 1) for j in range(npair))
+    return ("rc", gpr, nw_h) if expected == tuple(atypes_k) else None
+
+
+def _for_pairs(npair: int, roll, atypes_k, body) -> None:
+    """Run ``body(j, ja)`` over window pairs. Unrolled below _PAIR_ROLL_AT
+    (python ``j``, static ``ja``); rolled at/above it when the block's type
+    pattern admits the arithmetic lookup (traced ``j``/``ja`` — bodies must
+    then index refs via pl.ds only, like _per_image's rolled bodies)."""
+    if npair >= _PAIR_ROLL_AT and roll is not None:
+        if roll[0] == "const0":
+            def fb(j, cy):
+                body(j, 0)
+                return cy
+        else:
+            gpr, nwh = roll[1], roll[2]
+
+            def fb(j, cy):
+                ja = (2 * (j // gpr == nwh - 1).astype(jnp.int32)
+                      + (j % gpr == gpr - 1).astype(jnp.int32))
+                body(j, ja)
+                return cy
+        lax.fori_loop(0, npair, fb, jnp.int32(0))
+    else:
+        for j in range(npair):
+            body(j, atypes_k[j])
+
+
 # --------------------------------------------------------------------------- #
 # shared in-kernel math
 # --------------------------------------------------------------------------- #
@@ -180,7 +238,11 @@ def _geom(cfg: DRCTModelConfig, h: int, w: int):
     # goes through these static tuples
     atypes = tuple(_attn_pair_types(h, w, win, s, group)[0]
                    for s in g["shifts"])
-    return g, win, n, nw, group, plans, atypes
+    # arithmetic pair->type plans for ROLLED pair loops (None = unrollable
+    # only); see _pair_roll_plan / _for_pairs
+    rolls = tuple(_pair_roll_plan(h, w, win, s, group, atypes[i])
+                  for i, s in enumerate(g["shifts"]))
+    return g, win, n, nw, group, plans, atypes, rolls
 
 
 # --------------------------------------------------------------------------- #
@@ -195,7 +257,8 @@ def _dp_col(dp_ref, idx, imgs, l):
 
 
 def _fwd_kernel(x_ref, dp_ref, *refs, h, w, win, imgs, cs, cps, nhs, shifts,
-                c3ps, fps, cat_p, shift_plans, atypes, group, exp2):
+                c3ps, fps, cat_p, shift_plans, atypes, pair_rolls, group,
+                exp2):
     """Each program runs ``imgs`` images ROW-STACKED (the serving kernel's
     round-3 restructure, ops/fused_rdg.py:_rdg_kernel_impl): every row-wise
     op (LN, the five big matmuls, gelu, residuals, concat add) runs ONCE
@@ -251,16 +314,16 @@ def _fwd_kernel(x_ref, dp_ref, *refs, h, w, win, imgs, cs, cps, nhs, shifts,
 
         def attn_img(img):
             ib = img * l
-            for j in range(npair):
+
+            # packed terms are deduplicated to distinct mask TYPES
+            # (shift-0 blocks: one bias-only type); the (j, ja) loop rolls
+            # at large npair (_for_pairs)
+            def pair(j, ja):
                 rows = pl.ds(ib + j * gn, gn)
-                # packed terms are deduplicated to distinct mask TYPES
-                # (shift-0 blocks: one bias-only type)
-                ja = atypes[k][j]
                 for hh in range(nh):
                     q = qkv_scr[rows, hh * hd:hh * hd + hd]
                     kk = qkv_scr[rows, c + hh * hd:c + hh * hd + hd]
-                    arow = slice((ja * nh + hh) * gn,
-                                 (ja * nh + hh + 1) * gn)
+                    arow = pl.ds((ja * nh + hh) * gn, gn)
                     s = _mm_a_bt(q, kk) + a_ref[arow, :]
                     if exp2:
                         # log2e + the -_EXP2_SHIFT stability margin are
@@ -289,6 +352,8 @@ def _fwd_kernel(x_ref, dp_ref, *refs, h, w, win, imgs, cs, cps, nhs, shifts,
                                     2 * c + hh * hd:2 * c + hh * hd + hd]
                         ctx_scr[rows, hh * hd:(hh + 1) * hd] = \
                             _mm(p.astype(mm_dt), v).astype(ctx_scr.dtype)
+
+            _for_pairs(npair, pair_rolls[k], atypes[k], pair)
 
         _per_image(imgs, attn_img)
         ctx = ctx_scr[:, :c_p].astype(mm_dt)
@@ -331,8 +396,8 @@ def _fwd_kernel(x_ref, dp_ref, *refs, h, w, win, imgs, cs, cps, nhs, shifts,
 # --------------------------------------------------------------------------- #
 
 def _bwd_kernel(dp_ref, cat_ref, g_ref, *refs, h, w, win, imgs, cs, cps,
-                nhs, shifts, c3ps, fps, cat_p, shift_plans, atypes, group,
-                exp2):
+                nhs, shifts, c3ps, fps, cat_p, shift_plans, atypes,
+                pair_rolls, group, exp2):
     """Per (image-group, RDG) backward, ``imgs`` images row-stacked like
     the forward. refs =
     5 x operand refs, then outputs:
@@ -421,16 +486,16 @@ def _bwd_kernel(dp_ref, cat_ref, g_ref, *refs, h, w, win, imgs, cs, cps,
 
         def attn_rec(img):
             ib = img * l
-            for j in range(npair):
+
+            # packed terms are deduplicated to distinct mask TYPES; the
+            # (j, ja) loop rolls at large npair (_for_pairs)
+            def pair(j, ja):
                 rows = pl.ds(ib + j * gn, gn)
-                # packed terms are deduplicated to distinct mask TYPES
-                ja = atypes[k][j]
                 rs_acc = jnp.zeros((gn, 128), jnp.float32)
                 for hh in range(nh):
                     q = qkv_scr[rows, hh * hd:hh * hd + hd]
                     kk = qkv_scr[rows, c + hh * hd:c + hh * hd + hd]
-                    arow = slice((ja * nh + hh) * gn,
-                                 (ja * nh + hh + 1) * gn)
+                    arow = pl.ds((ja * nh + hh) * gn, gn)
                     s = _mm_a_bt(q, kk) + a_ref[arow, :]
                     if exp2:
                         # pre-folded log2e/-shift, see _fwd_kernel; the
@@ -459,6 +524,8 @@ def _bwd_kernel(dp_ref, cat_ref, g_ref, *refs, h, w, win, imgs, cs, cps,
                             _mm(p.astype(mm_dt), v).astype(ctx_scr.dtype)
                     rs_acc = jnp.where(lane == hh, rinv, rs_acc)
                 rs_scr[rows, :] = rs_acc
+
+            _for_pairs(npair, pair_rolls[k], atypes[k], pair)
 
         _per_image(imgs, attn_rec)
         ctx = ctx_scr[:, :c_p].astype(mm_dt)
@@ -520,18 +587,18 @@ def _bwd_kernel(dp_ref, cat_ref, g_ref, *refs, h, w, win, imgs, cs, cps,
 
         def attn_grad(img):
             ib = img * l
-            for j in range(npair):
+
+            # dattn accumulates over every pair sharing a mask TYPE (the
+            # term is broadcast over those windows, so its gradient is the
+            # pair sum) — and over images always; (j, ja) rolls at large
+            # npair (_for_pairs)
+            def pair(j, ja):
                 rows = pl.ds(ib + j * gn, gn)
-                # dattn accumulates over every pair sharing a mask TYPE
-                # (the term is broadcast over those windows, so its
-                # gradient is the pair sum) — and over images always
-                ja = atypes[k][j]
                 # one full-width read per pair; per-head lanes slice the
                 # register value (not the ref — see attn_rec's store note)
                 rsj = rs_scr[rows, :]
                 for hh in range(nh):
-                    arow = slice((ja * nh + hh) * gn,
-                                 (ja * nh + hh + 1) * gn)
+                    arow = pl.ds((ja * nh + hh) * gn, gn)
                     q = qkv_scr[rows, hh * hd:hh * hd + hd]
                     kk = qkv_scr[rows, c + hh * hd:c + hh * hd + hd]
                     # flash-style probability recompute: identical f32 ops
@@ -567,6 +634,8 @@ def _bwd_kernel(dp_ref, cat_ref, g_ref, *refs, h, w, win, imgs, cs, cps,
                     d_scr[rows, hh * hd:hh * hd + hd] += dq
                     d_scr[rows, c + hh * hd:c + hh * hd + hd] += dk
                     d_scr[rows, vo:vo + hd] += dv
+
+            _for_pairs(npair, pair_rolls[k], atypes[k], pair)
 
         _per_image(imgs, attn_grad)
         dqkv = d_scr[:, :c3_p]
@@ -644,7 +713,7 @@ def _train_imgs(b: int, l: int, bwd: bool = False) -> int:
 
 def _rdg_train_fwd_call(cfg_key, h, w, exp2, x, dp, *ops):
     cfg = _cfg_from_key(cfg_key)
-    g, win, n, nw, group, plans, atypes = _geom(cfg, h, w)
+    g, win, n, nw, group, plans, atypes, rolls = _geom(cfg, h, w)
     b, l, c0p = x.shape
     cat_p = g["cat_p"]
     c3ps = tuple(ops[_OPS_PER_BLOCK * k].shape[1] for k in range(5))
@@ -655,6 +724,7 @@ def _rdg_train_fwd_call(cfg_key, h, w, exp2, x, dp, *ops):
         _fwd_kernel, h=h, w=w, win=win, imgs=imgs, cs=g["feats"],
         cps=g["cps"], nhs=g["heads"], shifts=g["shifts"], c3ps=c3ps,
         fps=fps, cat_p=cat_p, shift_plans=plans, atypes=atypes,
+        pair_rolls=rolls,
         group=group, exp2=exp2)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     # token arrays enter/leave the kernels 2-D ([B*L, C], an image-group per
@@ -699,7 +769,7 @@ def _rdg_train_fwd(cfg_key, h, w, exp2, x, dp, *ops):
 def _rdg_train_bwd(cfg_key, h, w, exp2, res, g):
     dp, cat, ops = res
     cfg = _cfg_from_key(cfg_key)
-    geo, win, n, nw, group, plans, atypes = _geom(cfg, h, w)
+    geo, win, n, nw, group, plans, atypes, rolls = _geom(cfg, h, w)
     l = h * w
     b = cat.shape[0] // l         # cat is the fwd kernel's 2-D [B*L, cat_p]
     c0p = geo["cps"][0]
@@ -712,6 +782,7 @@ def _rdg_train_bwd(cfg_key, h, w, exp2, res, g):
         _bwd_kernel, h=h, w=w, win=win, imgs=imgs, cs=geo["feats"],
         cps=geo["cps"], nhs=geo["heads"], shifts=geo["shifts"], c3ps=c3ps,
         fps=fps, cat_p=cat_p, shift_plans=plans, atypes=atypes,
+        pair_rolls=rolls,
         group=group, exp2=exp2)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     acc = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)

@@ -199,6 +199,40 @@ def test_train_grads_dedup_geometry_match_flax():
                                    err_msg=jax.tree_util.keystr(path))
 
 
+@pytest.mark.slow
+def test_train_grads_rolled_pair_loops_match_flax(monkeypatch):
+    # the 256px geometry (npair=16) rolls the per-pair attention loops into
+    # lax.fori_loop with the ARITHMETIC pair->type lookup (_pair_roll_plan);
+    # force the rolled path at the small dedup geometry and require the
+    # same gradients as the unrolled/static-type path
+    from adsr_tpu.ops import fused_rdg_train as mod
+    assert mod._pair_roll_plan(12, 12, 4, 2, 1, (0, 0, 1, 0, 0, 1, 2, 2, 3))
+    monkeypatch.setattr(mod, "_PAIR_ROLL_AT", 1)
+    model, params, x = _setup(CFG_DEDUP)
+    hr = jnp.asarray(np.random.RandomState(1).rand(*(
+        x.shape[0], x.shape[1] * CFG_DEDUP.upscale,
+        x.shape[2] * CFG_DEDUP.upscale, x.shape[3])) * 255, jnp.float32)
+
+    def loss_flax(p):
+        return jnp.mean(jnp.abs(model.apply({"params": p}, x) - hr))
+
+    def loss_fused(p):
+        sr = fused_drct_train_forward(p, CFG_DEDUP, x, deterministic=True,
+                                      dtype=jnp.float32)
+        return jnp.mean(jnp.abs(sr - hr))
+
+    lw, gw = jax.value_and_grad(loss_flax)(params)
+    lf, gf = jax.value_and_grad(loss_fused)(params)
+    np.testing.assert_allclose(float(lf), float(lw), rtol=1e-4)
+    flat_w = jax.tree_util.tree_leaves_with_path(gw)
+    flat_f = dict(jax.tree_util.tree_leaves_with_path(gf))
+    for path, leaf_w in flat_w:
+        a, b = np.asarray(leaf_w), np.asarray(flat_f[path])
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b, a, atol=2e-3 * scale, rtol=2e-2,
+                                   err_msg=jax.tree_util.keystr(path))
+
+
 def test_train_forward_bf16_path_parity():
     # the hardware train path packs and computes in bf16 — run those exact
     # numerics (bf16 operands, f32 LN/softmax internals) in interpret mode
