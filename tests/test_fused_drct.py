@@ -17,10 +17,13 @@ from adsr_tpu.models.factory import fast_init
 
 
 @pytest.mark.slow
-def test_matches_flax_model():
-    cfg = DRCTModelConfig(upscale=2, img_size=8, window_size=4, in_chans=1,
-                          embed_dim=12, num_layers=2, num_heads=2, gc=4,
-                          scan_layers=True)
+@pytest.mark.parametrize("upscale", [2, 8])
+def test_matches_flax_model(upscale):
+    # upscale=8 exercises the three-stage PixelShuffle tail through the
+    # fused serving path (BASELINE.md's best-DRCT rows are x8)
+    cfg = DRCTModelConfig(upscale=upscale, img_size=8, window_size=4,
+                          in_chans=1, embed_dim=12, num_layers=2,
+                          num_heads=2, gc=4, scan_layers=True)
     model = DRCT(cfg)
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(2, 8, 8, 1) * 255, jnp.float32)

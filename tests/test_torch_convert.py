@@ -244,6 +244,15 @@ class TestNumericParityVsReference:
             window=8, in_chans=1, upscale=4)
         self._assert_drct_close(tm, params, cfg, atol=5e-4)
 
+    def test_drct_forward_parity_x8(self):
+        # x8: three chained 2x PixelShuffle stages (the BASELINE.md
+        # best-DRCT rows are x8 — grid 512/x8, carpet 256/x8;
+        # /root/reference/src/main.py:144-205 wires scale 8)
+        tm, params, cfg = self._drct_pair(
+            embed_dim=12, num_layers=2, num_heads=2, gc=4, img_size=8,
+            window=4, in_chans=1, upscale=8)
+        self._assert_drct_close(tm, params, cfg, atol=1e-5)
+
     def _drn_pair(self, scale, n_blocks, n_feats, n_colors):
         import types
         import torch
