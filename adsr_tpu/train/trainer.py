@@ -63,8 +63,13 @@ class TrainState(struct.PyTreeNode):
 # read ONCE at import — set it before importing the trainer.
 
 
-def _scoped_vmem_kib() -> int:
-    raw = os.environ.get("ADSR_TPU_SCOPED_VMEM_KIB", "65536")
+def _scoped_vmem_kib(img_size: int = 32) -> int:
+    # the 256px geometry's staging (per-layer weight slices + the L=4096
+    # token cotangents) measures 68.51 MiB at compile — 72 MiB covers it
+    # while the leaner backward kernel (no score scratch) keeps the total
+    # under the 128 MiB physical budget
+    default = "65536" if img_size <= 32 else "73728"
+    raw = os.environ.get("ADSR_TPU_SCOPED_VMEM_KIB", default)
     try:
         kib = int(raw)
     except ValueError:
@@ -78,8 +83,15 @@ def _scoped_vmem_kib() -> int:
     return kib
 
 
-FUSED_TRAIN_COMPILER_OPTIONS = {
-    "xla_tpu_scoped_vmem_limit_kib": str(_scoped_vmem_kib())}
+def fused_train_compiler_options(img_size: int = 32) -> dict:
+    """Per-jit compiler options for any compile that inlines the fused
+    custom-VJP train step (geometry-aware scoped-vmem budget)."""
+    return {"xla_tpu_scoped_vmem_limit_kib": str(_scoped_vmem_kib(img_size))}
+
+
+# the 128px-geometry options, for callers that predate the geometry-aware
+# helper (bench scripts); prefer fused_train_compiler_options(img_size)
+FUSED_TRAIN_COMPILER_OPTIONS = fused_train_compiler_options(32)
 
 
 def cosine_lr(epoch: int, lr0: float, eta_min: float, epochs: int) -> float:
@@ -115,12 +127,13 @@ def _fused_train_geom_ok(model) -> bool:
     """The fused backward kernel's scratches scale with L = img_size^2.
     Round 4's attention-term dedup (distinct mask types instead of
     per-pair terms, ops/fused_rdg.py:_attn_pair_types) plus the flash-style
-    score recompute (the [L*nh, gn] f32 score scratch replaced by [L, nh]
-    row-sum reciprocals) brought the L=4096 (256px/window-16, the
-    reference's best-AUC geometry — src/main.py:243-294) backward inside
-    v5e VMEM; past that (512px native, L=16384) the token scratches alone
-    exceed the budget and training falls back to XLA+remat (interpret-mode
-    'force' has no VMEM and keeps the kernels at any size)."""
+    self-contained score recompute (no score scratch at all — the grad pass
+    rebuilds each tile and its row-sum) brought the L=4096
+    (256px/window-16, the reference's best-AUC geometry —
+    src/main.py:243-294) backward inside v5e VMEM; past that (512px
+    native, L=16384) the token scratches alone exceed the budget and
+    training falls back to XLA+remat (interpret-mode 'force' has no VMEM
+    and keeps the kernels at any size)."""
     return model.img_size * model.img_size <= 4096
 
 
@@ -193,7 +206,7 @@ def make_train_step(exp: Experiment, mesh=None,
     # client-side XLA_FLAGS parser rejects TPU-only flags in this env.
     # (TPU-only: the CPU compiler rejects unknown options, and the interpret
     # -mode 'force' path used by tests runs on CPU)
-    compiler_options = (dict(FUSED_TRAIN_COMPILER_OPTIONS)
+    compiler_options = (fused_train_compiler_options(exp.model.img_size)
                         if use_fused_train
                         and jax.default_backend() not in ("cpu",) else None)
 

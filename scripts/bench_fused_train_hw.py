@@ -96,7 +96,7 @@ def stage_fwdonly(batch: int = 16):
     import bench
     from adsr_tpu.models.factory import init_sr_params
     from adsr_tpu.ops.fused_rdg_train import fused_drct_train_forward
-    from adsr_tpu.train.trainer import FUSED_TRAIN_COMPILER_OPTIONS
+    from adsr_tpu.train.trainer import fused_train_compiler_options
 
     exp = _exp(batch)
     params, _ = init_sr_params(exp.model, jax.random.key(0), exp.precision)
@@ -107,7 +107,8 @@ def stage_fwdonly(batch: int = 16):
     k = 10
 
     @functools.partial(jax.jit,
-                       compiler_options=FUSED_TRAIN_COMPILER_OPTIONS)
+                       compiler_options=fused_train_compiler_options(
+                           exp.model.img_size))
     def loop(params, x):
         def body(x, i):
             o = fused_drct_train_forward(
@@ -139,7 +140,7 @@ def stage_gradonly(batch: int = 16):
     import bench
     from adsr_tpu.models.factory import init_sr_params
     from adsr_tpu.ops.fused_rdg_train import fused_drct_train_forward
-    from adsr_tpu.train.trainer import FUSED_TRAIN_COMPILER_OPTIONS
+    from adsr_tpu.train.trainer import fused_train_compiler_options
 
     exp = _exp(batch)
     params, _ = init_sr_params(exp.model, jax.random.key(0), exp.precision)
@@ -173,7 +174,8 @@ def stage_gradonly(batch: int = 16):
     k = 10
 
     @functools.partial(jax.jit,
-                       compiler_options=FUSED_TRAIN_COMPILER_OPTIONS)
+                       compiler_options=fused_train_compiler_options(
+                           exp.model.img_size))
     def loop(params, x):
         def body(x, i):
             def loss(p):

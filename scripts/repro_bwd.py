@@ -26,7 +26,7 @@ def main():
     from adsr_tpu.core.config import DRCTModelConfig
     from adsr_tpu.models.factory import init_sr_params
     from adsr_tpu.ops.fused_rdg_train import fused_drct_train_forward
-    from adsr_tpu.train.trainer import FUSED_TRAIN_COMPILER_OPTIONS
+    from adsr_tpu.train.trainer import fused_train_compiler_options
 
     layers = int(os.environ.get("ADSR_REPRO_LAYERS", "1"))
     batch = int(os.environ.get("ADSR_REPRO_BATCH", "2"))
@@ -68,7 +68,7 @@ def main():
             x, sums = lax.scan(body, x, jnp.arange(k))
             return jnp.sum(sums)
 
-        loop = jax.jit(loop, compiler_options=FUSED_TRAIN_COMPILER_OPTIONS)
+        loop = jax.jit(loop, compiler_options=fused_train_compiler_options(img))
         print(f"repro scan ok: {float(loop(params, x)):.4f}")
         return
 
@@ -79,7 +79,7 @@ def main():
         return jnp.mean(jnp.abs(o - hr))
 
     f = jax.jit(jax.value_and_grad(loss),
-                compiler_options=FUSED_TRAIN_COMPILER_OPTIONS)
+                compiler_options=fused_train_compiler_options(img))
     val, grads = f(params)
     gsum = sum(float(jnp.sum(jnp.abs(g)))
                for g in jax.tree_util.tree_leaves(grads))
