@@ -405,7 +405,7 @@ def _bwd_kernel(dp_ref, cat_ref, g_ref, *refs, h, w, win, imgs, cs, cps,
       5 x (dwqkv, dwproj, dw1, dw2, dwadj, dbvec, dbadj, dattn)  (f32, accum)
     then scratches:
       dcat_scr [imgs*L, cat_p] f32, qkv_scr, win_scr f32, ctx_scr,
-      d_scr f32 (dqkv temp)
+      d_scr (dqkv temp, compute dtype)
 
     FLASH-STYLE SCORE RECOMPUTE: NOTHING attention-sized is carried from
     the recompute pass to the grad pass — the grad pass rebuilds each
@@ -628,16 +628,23 @@ def _bwd_kernel(dp_ref, cat_ref, g_ref, *refs, h, w, win, imgs, cs, cps,
                     dattn_o[arow, :] += ds
                     dq = _mm(ds.astype(mm_dt), kk)
                     dk = _mm_at_b(ds.astype(mm_dt), q)
-                    d_scr[rows, hh * hd:hh * hd + hd] += dq
-                    d_scr[rows, c + hh * hd:c + hh * hd + hd] += dk
-                    d_scr[rows, vo:vo + hd] += dv
+                    # every (rows, head-slice) region is written exactly
+                    # once (j rows disjoint, head lanes disjoint), so plain
+                    # stores suffice and d_scr can live in the compute
+                    # dtype — its consumers cast to mm_dt anyway, and the
+                    # 256px geometry needs the 8 MiB this saves
+                    d_scr[rows, hh * hd:hh * hd + hd] = \
+                        dq.astype(d_scr.dtype)
+                    d_scr[rows, c + hh * hd:c + hh * hd + hd] = \
+                        dk.astype(d_scr.dtype)
+                    d_scr[rows, vo:vo + hd] = dv.astype(d_scr.dtype)
 
             _for_pairs(npair, pair_rolls[k], atypes[k], pair)
 
         _per_image(imgs, attn_grad)
         dqkv = d_scr[:, :c3_p]
         dwqkv_o[...] += _mm_at_b(y1.astype(mm_dt), dqkv.astype(mm_dt))
-        dbqkv = jnp.sum(dqkv, axis=0, keepdims=True)
+        dbqkv = jnp.sum(dqkv.astype(jnp.float32), axis=0, keepdims=True)
         dy1 = _mm_a_bt(dqkv.astype(mm_dt), wqkv_ref[...])
         d_x0 = d_x1 + _ln_bwd(dy1, y1, inv1, c, cmask)
 
@@ -654,15 +661,16 @@ def _bwd_kernel(dp_ref, cat_ref, g_ref, *refs, h, w, win, imgs, cs, cps,
         if plan is None:
             dcat_scr[:, :c_p] = dcat_scr[:, :c_p] + d_x0
         else:
-            # stage in d_scr (f32, free once dqkv is extracted) so the
+            # stage in d_scr (free once dqkv is extracted) so the
             # rolled shift0-order scatter into win_scr is ref->ref
-            d_scr[:, :c_p] = d_x0
+            d_scr[:, :c_p] = d_x0.astype(d_scr.dtype)
 
             def scat(img):
                 ib = img * l
                 for dst, src, width in plan:
                     win_scr[pl.ds(ib + src, width), :c_p] = \
-                        d_scr[pl.ds(ib + dst, width), :c_p]
+                        d_scr[pl.ds(ib + dst, width), :c_p] \
+                        .astype(win_scr.dtype)
             _per_image(imgs, scat)
             dcat_scr[:, :c_p] = dcat_scr[:, :c_p] + win_scr[:, :c_p]
 
@@ -814,7 +822,7 @@ def _rdg_train_bwd(cfg_key, h, w, exp2, res, g):
             pltpu.VMEM((imgs * l, max(geo["cps"])),
                        jnp.float32),                        # staging/gather
             pltpu.VMEM((imgs * l, max(geo["cps"])), cat.dtype),  # ctx
-            pltpu.VMEM((imgs * l, max(c3ps)), jnp.float32),  # dqkv temp
+            pltpu.VMEM((imgs * l, max(c3ps)), cat.dtype),   # dqkv temp
         ],
         compiler_params=(pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024)
