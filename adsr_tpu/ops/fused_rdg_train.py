@@ -551,7 +551,8 @@ def _bwd_kernel(dp_ref, cat_ref, g_ref, *refs, h, w, win, imgs, cs, cps,
             adj_pre = _mm(x2.astype(mm_dt), wadj_ref[...]) + badj_ref[0]
             dadj = jnp.where(adj_pre >= 0, dadj_cols, 0.2 * dadj_cols)
         dwadj_o[...] += _mm_at_b(x2.astype(mm_dt), dadj.astype(mm_dt))
-        dbadj_o[...] += jnp.sum(dadj, axis=0, keepdims=True)
+        dbadj_o[...] += jnp.sum(dadj.astype(jnp.float32), axis=0,
+                                keepdims=True)
         d_x2 = _mm_a_bt(dadj.astype(mm_dt), wadj_ref[...])
 
         # ---- MLP branch backward ----
@@ -571,10 +572,11 @@ def _bwd_kernel(dp_ref, cat_ref, g_ref, *refs, h, w, win, imgs, cs, cps,
         dwproj_o[...] += _mm_at_b(ctx, dattn_br.astype(mm_dt))
         dbproj = jnp.sum(dattn_br, axis=0, keepdims=True)
         # per-(image, pair, head) attention grads; dqkv assembled in d_scr.
-        # dctx is staged in win_scr (f32, free after the dadj gather) so the
-        # rolled per-image loop reads it ref-indexed
+        # dctx is staged in win_scr (free after the dadj gather) so the
+        # rolled per-image loop reads it ref-indexed; every consumer casts
+        # to the matmul dtype anyway, so compute-dtype staging is free
         d_scr[:, :c3_p] = jnp.zeros_like(d_scr[:, :c3_p])
-        win_scr[:, :c_p] = dctx
+        win_scr[:, :c_p] = dctx.astype(win_scr.dtype)
 
         def attn_grad(img):
             ib = img * l
@@ -819,10 +821,20 @@ def _rdg_train_bwd(cfg_key, h, w, exp2, res, g):
         scratch_shapes=[
             pltpu.VMEM((imgs * l, cat_p), jnp.float32),     # dcat
             pltpu.VMEM((imgs * l, max(c3ps)), cat.dtype),   # qkv recompute
-            pltpu.VMEM((imgs * l, max(geo["cps"])),
-                       jnp.float32),                        # staging/gather
+            # staging/gather in the compute dtype: it stages bf16-origin
+            # cat values (lossless) and gradient tiles whose consumers all
+            # cast to the matmul dtype — the 3 MiB this saves at 256px is
+            # part of fitting the 128 MiB budget
+            pltpu.VMEM((imgs * l, max(geo["cps"])), cat.dtype),
             pltpu.VMEM((imgs * l, max(geo["cps"])), cat.dtype),  # ctx
-            pltpu.VMEM((imgs * l, max(c3ps)), cat.dtype),   # dqkv temp
+            # dqkv temp: f32, NOT the compute dtype — a bf16 d_scr measured
+            # a net LOSS at 256px: XLA reacted to the leaner kernel by
+            # colocating the call's ~50 MiB of dW outputs with the operand
+            # staging in ONE stack frame, which can never fit the scoped
+            # limit (frame = limit + outputs for every limit value); the
+            # f32 scratch keeps the split-fusion structure whose staging
+            # (68.51 MiB) fits the 256px scoped budget
+            pltpu.VMEM((imgs * l, max(c3ps)), jnp.float32),  # dqkv temp
         ],
         compiler_params=(pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024)
@@ -1015,7 +1027,16 @@ def fused_drct_train_forward(params: Dict, cfg: DRCTModelConfig,
                      bd["wadj"], bd["badj"], bd["bvec"], bd["attn"]]
         return _rdg_train_core(key, h, w, exp2, t, dpl, *flat), None
 
-    t, _ = lax.scan(rdg_body, t, (blocks, dp))
+    # ADSR_TPU_TRAIN_UNROLL_LAYERS=1 unrolls the layer loop (an A/B probe
+    # for scan-transpose buffer placement; measured WORSE at 256px — XLA
+    # overlaps the per-layer backward frames and vmem demand grows to
+    # 156 MiB — so the scan stays the default everywhere)
+    if os.environ.get("ADSR_TPU_TRAIN_UNROLL_LAYERS") == "1":
+        for i in range(cfg.num_layers):
+            blk_i = jax.tree_util.tree_map(lambda a: a[i], blocks)
+            t, _ = rdg_body(t, (blk_i, dp[i]))
+    else:
+        t, _ = lax.scan(rdg_body, t, (blocks, dp))
     t = (t.reshape(b, hw, ww, 2, 2, q, q, c0p)
          .transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(b, h * w, c0p))
     t = t[:, :, :d]

@@ -65,10 +65,13 @@ class TrainState(struct.PyTreeNode):
 
 def _scoped_vmem_kib(img_size: int = 32) -> int:
     # the 256px geometry's staging (per-layer weight slices + the L=4096
-    # token cotangents) measures 68.51 MiB at compile — 72 MiB covers it
-    # while the leaner backward kernel (no score scratch) keeps the total
+    # token cotangents) measures 68.51 MiB at compile; XLA grows its
+    # staging fusions to fill whatever budget it is given (72 MiB produced
+    # a 125 MiB fusion!), so sit JUST above the measured demand — 66 MiB
+    # setting = 69.75 MiB effective limit — and let the leaner backward
+    # kernel (no score scratch, compute-dtype dqkv staging) keep the total
     # under the 128 MiB physical budget
-    default = "65536" if img_size <= 32 else "73728"
+    default = "65536" if img_size <= 32 else "69632"
     raw = os.environ.get("ADSR_TPU_SCOPED_VMEM_KIB", default)
     try:
         kib = int(raw)
