@@ -71,7 +71,7 @@ def _scoped_vmem_kib(img_size: int = 32) -> int:
     # setting = 69.75 MiB effective limit — and let the leaner backward
     # kernel (no score scratch, compute-dtype dqkv staging) keep the total
     # under the 128 MiB physical budget
-    default = "65536" if img_size <= 32 else "69632"
+    default = "65536" if img_size <= 32 else "67456"
     raw = os.environ.get("ADSR_TPU_SCOPED_VMEM_KIB", default)
     try:
         kib = int(raw)
@@ -128,16 +128,24 @@ class TrainStepBundle:
 
 def _fused_train_geom_ok(model) -> bool:
     """The fused backward kernel's scratches scale with L = img_size^2.
-    Round 4's attention-term dedup (distinct mask types instead of
-    per-pair terms, ops/fused_rdg.py:_attn_pair_types) plus the flash-style
-    self-contained score recompute (no score scratch at all — the grad pass
-    rebuilds each tile and its row-sum) brought the L=4096
-    (256px/window-16, the reference's best-AUC geometry —
-    src/main.py:243-294) backward inside v5e VMEM; past that (512px
-    native, L=16384) the token scratches alone exceed the budget and
-    training falls back to XLA+remat (interpret-mode 'force' has no VMEM
-    and keeps the kernels at any size)."""
-    return model.img_size * model.img_size <= 4096
+    Round 4's attention-term dedup (ops/fused_rdg.py:_attn_pair_types),
+    rolled pair loops, and the self-contained flash score recompute (no
+    score scratch — the grad pass rebuilds each tile and its row-sum)
+    brought the L=4096 (256px/window-16, the reference's best-AUC
+    geometry — src/main.py:243-294) backward kernel itself inside v5e
+    VMEM (~50 MiB scratches + ~69.5 MiB custom-call staging < 128 MiB) —
+    but XLA's buffer placement cannot currently be coaxed into a legal
+    layout: every configuration either packs the operand staging past the
+    scoped limit or colocates the ~50 MiB of dW outputs into one stack
+    frame that can never fit (full probe log in ARCHITECTURE.md "round-4
+    256px saga"). Until a libtpu/XLA update, L > 1024 defaults to the
+    XLA+remat path; ADSR_TPU_FUSED_TRAIN_BIGL=1 opts the kernels back in
+    for retesting (interpret-mode 'force' has no VMEM and keeps the
+    kernels at any size)."""
+    l = model.img_size * model.img_size
+    if l <= 1024:
+        return True
+    return l <= 4096 and os.environ.get("ADSR_TPU_FUSED_TRAIN_BIGL") == "1"
 
 
 def make_train_step(exp: Experiment, mesh=None,

@@ -409,11 +409,12 @@ def test_train_forward_droppath_zero_branch():
 
 
 def test_fused_train_geometry_gate(monkeypatch):
-    # the fused train kernels are validated through L = img_size^2 = 4096
-    # (256px/window-16, round 4's attn-term dedup + flash score recompute);
-    # past that the backward's scratches exceed v5e VMEM and
-    # make_train_step must fall back to the XLA path ('force' keeps the
-    # kernels for interpret tests; '1' respects the gate)
+    # the fused train path defaults through L = img_size^2 = 1024; the
+    # L=4096 kernels pass interpret parity but XLA's buffer placement on
+    # v5e cannot currently host them (trainer._fused_train_geom_ok), so
+    # 4096 needs the ADSR_TPU_FUSED_TRAIN_BIGL=1 opt-in and anything
+    # bigger always falls back ('force' keeps the kernels for interpret
+    # tests; '1' respects the gate)
     import dataclasses
 
     from adsr_tpu.core.config import DataConfig, Experiment, OptimConfig
@@ -436,6 +437,9 @@ def test_fused_train_geometry_gate(monkeypatch):
     assert not bundle_for(128, "1").use_fused_train    # L=16384 > budget
     # the geometry rule itself (the '1' case above also fails the backend
     # check on CPU, so pin the rule directly)
+    assert _fused_train_geom_ok(dataclasses.replace(CFG, img_size=32))
+    assert not _fused_train_geom_ok(dataclasses.replace(CFG, img_size=64))
+    monkeypatch.setenv("ADSR_TPU_FUSED_TRAIN_BIGL", "1")
     assert _fused_train_geom_ok(dataclasses.replace(CFG, img_size=64))
     assert not _fused_train_geom_ok(dataclasses.replace(CFG, img_size=128))
 
