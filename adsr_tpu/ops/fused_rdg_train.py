@@ -120,6 +120,13 @@ def _per_image(imgs: int, body) -> None:
 _PAIR_ROLL_AT = int(os.environ.get("ADSR_TPU_TRAIN_PAIR_ROLL_AT", "12"))
 
 
+def _sl(start, size):
+    """Static slice when ``start`` is a python int (unrolled loops — Mosaic
+    gets compile-time offsets), pl.ds otherwise (rolled, traced)."""
+    return (slice(start, start + size) if isinstance(start, (int, np.integer))
+            else pl.ds(start, size))
+
+
 def _pair_roll_plan(h, w, win, shift, group, atypes_k):
     """Arithmetic pair->type lookup for ROLLED pair loops, or None.
 
@@ -319,11 +326,11 @@ def _fwd_kernel(x_ref, dp_ref, *refs, h, w, win, imgs, cs, cps, nhs, shifts,
             # (shift-0 blocks: one bias-only type); the (j, ja) loop rolls
             # at large npair (_for_pairs)
             def pair(j, ja):
-                rows = pl.ds(ib + j * gn, gn)
+                rows = _sl(ib + j * gn, gn)
                 for hh in range(nh):
                     q = qkv_scr[rows, hh * hd:hh * hd + hd]
                     kk = qkv_scr[rows, c + hh * hd:c + hh * hd + hd]
-                    arow = pl.ds((ja * nh + hh) * gn, gn)
+                    arow = _sl((ja * nh + hh) * gn, gn)
                     s = _mm_a_bt(q, kk) + a_ref[arow, :]
                     if exp2:
                         # log2e + the -_EXP2_SHIFT stability margin are
@@ -485,11 +492,11 @@ def _bwd_kernel(dp_ref, cat_ref, g_ref, *refs, h, w, win, imgs, cs, cps,
             # packed terms are deduplicated to distinct mask TYPES; the
             # (j, ja) loop rolls at large npair (_for_pairs)
             def pair(j, ja):
-                rows = pl.ds(ib + j * gn, gn)
+                rows = _sl(ib + j * gn, gn)
                 for hh in range(nh):
                     q = qkv_scr[rows, hh * hd:hh * hd + hd]
                     kk = qkv_scr[rows, c + hh * hd:c + hh * hd + hd]
-                    arow = pl.ds((ja * nh + hh) * gn, gn)
+                    arow = _sl((ja * nh + hh) * gn, gn)
                     s = _mm_a_bt(q, kk) + a_ref[arow, :]
                     if exp2:
                         # pre-folded log2e/-shift, see _fwd_kernel; the
@@ -586,9 +593,9 @@ def _bwd_kernel(dp_ref, cat_ref, g_ref, *refs, h, w, win, imgs, cs, cps,
             # pair sum) — and over images always; (j, ja) rolls at large
             # npair (_for_pairs)
             def pair(j, ja):
-                rows = pl.ds(ib + j * gn, gn)
+                rows = _sl(ib + j * gn, gn)
                 for hh in range(nh):
-                    arow = pl.ds((ja * nh + hh) * gn, gn)
+                    arow = _sl((ja * nh + hh) * gn, gn)
                     q = qkv_scr[rows, hh * hd:hh * hd + hd]
                     kk = qkv_scr[rows, c + hh * hd:c + hh * hd + hd]
                     # flash-style probability recompute: identical f32 ops
