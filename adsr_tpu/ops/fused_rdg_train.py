@@ -412,22 +412,23 @@ def _bwd_kernel(dp_ref, cat_ref, g_ref, *refs, h, w, win, imgs, cs, cps,
       5 x (dwqkv, dwproj, dw1, dw2, dwadj, dbvec, dbadj, dattn)  (f32, accum)
     then scratches:
       dcat_scr [imgs*L, cat_p] f32, qkv_scr, win_scr f32, ctx_scr,
-      d_scr (dqkv temp, compute dtype)
+      rs_scr f32 (per-(row, head) softmax row-sum reciprocals),
+      d_scr f32 (dqkv temp)
 
-    FLASH-STYLE SCORE RECOMPUTE: NOTHING attention-sized is carried from
-    the recompute pass to the grad pass — the grad pass rebuilds each
-    tile's probabilities AND their row-sum from qkv_scr + the additive
-    term (identical f32 ops on identical staged inputs; the row-sum
-    differs from the forward's MXU ones-column accumulation only in
-    reduction order, ~1e-7 relative). This replaces the
-    [imgs*L*max_nh, gn] f32 score scratch — 25 MiB at the 256px/window-16
-    geometry, the difference between fitting v5e VMEM and not — at the
-    cost of one extra score matmul + exp + rowsum sweep per tile."""
+    FLASH-STYLE SCORE RECOMPUTE: the recompute pass stores only the
+    [imgs*L, 128] row-sum reciprocals; the grad pass rebuilds each tile's
+    normalised probabilities from qkv_scr + the additive term (identical
+    f32 ops on identical staged inputs) scaled by the stored reciprocal.
+    This replaces the [imgs*L*max_nh, gn] f32 score scratch — 25 MiB at
+    the 256px/window-16 geometry — at the cost of one extra score matmul
+    + exp sweep per tile. (A fully self-contained variant that also
+    recomputes the row-sum was tried and reverted: 11% slower on the
+    fwd+bwd chain for a 0.5 MiB saving.)"""
     ops = refs[:5 * _OPS_PER_BLOCK]
     outs = refs[5 * _OPS_PER_BLOCK:5 * _OPS_PER_BLOCK + 1 + 5 * 8]
     dx_ref = outs[0]
     douts = outs[1:]
-    (dcat_scr, qkv_scr, win_scr, ctx_scr,
+    (dcat_scr, qkv_scr, win_scr, ctx_scr, rs_scr,
      d_scr) = refs[5 * _OPS_PER_BLOCK + 1 + 5 * 8:]
     mm_dt = cat_ref.dtype
     n = win * win
@@ -486,6 +487,14 @@ def _bwd_kernel(dp_ref, cat_ref, g_ref, *refs, h, w, win, imgs, cs, cps,
         ctx_scr[:, :c_p] = jnp.zeros_like(ctx_scr[:, :c_p])
         npair = nw // group
         use_vext = _vext_ok(c, nh, c3_p)
+        # head -> lane mask for the row-sum-reciprocal scratch: rinv
+        # columns accumulate into a [gn, 128] register tile via
+        # where-selects and store FULL-WIDTH once per pair (single-lane
+        # VMEM stores at dynamic row offsets fault the v5e worker, and
+        # recomputing the rowsum in the grad pass instead measured 11%
+        # slower on the whole fwd+bwd chain)
+        lane = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
         def attn_rec(img):
             ib = img * l
 
@@ -493,6 +502,7 @@ def _bwd_kernel(dp_ref, cat_ref, g_ref, *refs, h, w, win, imgs, cs, cps,
             # (j, ja) loop rolls at large npair (_for_pairs)
             def pair(j, ja):
                 rows = _sl(ib + j * gn, gn)
+                rs_acc = jnp.zeros((gn, 128), jnp.float32)
                 for hh in range(nh):
                     q = qkv_scr[rows, hh * hd:hh * hd + hd]
                     kk = qkv_scr[rows, c + hh * hd:c + hh * hd + hd]
@@ -508,8 +518,8 @@ def _bwd_kernel(dp_ref, cat_ref, g_ref, *refs, h, w, win, imgs, cs, cps,
                         p = jnp.exp(s)
                     if use_vext:
                         # row-sum via the [v_h | 1] ones column (see
-                        # _fwd_kernel); NOTHING is stored for the grad
-                        # pass — it recomputes the tile AND its row-sum
+                        # _fwd_kernel); only the row-sum reciprocal is
+                        # kept — the grad pass recomputes the tile
                         vo = 2 * c + hh * (hd + 1)
                         ve = qkv_scr[rows, vo:vo + hd + 1]
                         cu = _mm(p.astype(mm_dt), ve)
@@ -517,11 +527,14 @@ def _bwd_kernel(dp_ref, cat_ref, g_ref, *refs, h, w, win, imgs, cs, cps,
                         ctx_scr[rows, hh * hd:(hh + 1) * hd] = \
                             (cu[:, :hd] * rinv).astype(ctx_scr.dtype)
                     else:
-                        p = p / jnp.sum(p, axis=-1, keepdims=True)
+                        rinv = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
+                        p = p * rinv
                         v = qkv_scr[rows,
                                     2 * c + hh * hd:2 * c + hh * hd + hd]
                         ctx_scr[rows, hh * hd:(hh + 1) * hd] = \
                             _mm(p.astype(mm_dt), v).astype(ctx_scr.dtype)
+                    rs_acc = jnp.where(lane == hh, rinv, rs_acc)
+                rs_scr[rows, :] = rs_acc
 
             _for_pairs(npair, pair_rolls[k], atypes[k], pair)
 
@@ -594,28 +607,22 @@ def _bwd_kernel(dp_ref, cat_ref, g_ref, *refs, h, w, win, imgs, cs, cps,
             # npair (_for_pairs)
             def pair(j, ja):
                 rows = _sl(ib + j * gn, gn)
+                # one full-width read per pair; per-head lanes slice the
+                # register value (not the ref — see attn_rec's store note)
+                rsj = rs_scr[rows, :]
                 for hh in range(nh):
                     arow = _sl((ja * nh + hh) * gn, gn)
                     q = qkv_scr[rows, hh * hd:hh * hd + hd]
                     kk = qkv_scr[rows, c + hh * hd:c + hh * hd + hd]
                     # flash-style probability recompute: identical f32 ops
-                    # on the same staged qkv rows as attn_rec, INCLUDING
-                    # the row-sum — the forward's ones-column sum
-                    # accumulates bf16-rounded p on the MXU, so sum the
-                    # same rounded values here (difference vs the fwd is
-                    # accumulation order only, ~1e-7 relative)
+                    # on the same staged qkv rows as attn_rec, scaled by
+                    # the stored row-sum reciprocal
                     s = _mm_a_bt(q, kk) + a_ref[arow, :]
                     if exp2:
                         p = jnp.exp2(s)
                     else:
                         p = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
-                    pb = p.astype(mm_dt)
-                    if use_vext:
-                        rsum = jnp.sum(pb.astype(jnp.float32), axis=-1,
-                                       keepdims=True)
-                    else:
-                        rsum = jnp.sum(p, axis=-1, keepdims=True)
-                    p = p * (1.0 / rsum)
+                    p = p * rsj[:, hh:hh + 1]
                     dctx_h = win_scr[rows, hh * hd:(hh + 1) * hd]
                     # v lanes follow the pack layout: stride hd+1 under vext
                     # (the ones column's gradient is dropped by the pack —
@@ -828,12 +835,10 @@ def _rdg_train_bwd(cfg_key, h, w, exp2, res, g):
         scratch_shapes=[
             pltpu.VMEM((imgs * l, cat_p), jnp.float32),     # dcat
             pltpu.VMEM((imgs * l, max(c3ps)), cat.dtype),   # qkv recompute
-            # staging/gather in the compute dtype: it stages bf16-origin
-            # cat values (lossless) and gradient tiles whose consumers all
-            # cast to the matmul dtype — the 3 MiB this saves at 256px is
-            # part of fitting the 128 MiB budget
-            pltpu.VMEM((imgs * l, max(geo["cps"])), cat.dtype),
+            pltpu.VMEM((imgs * l, max(geo["cps"])),
+                       jnp.float32),                        # staging/gather
             pltpu.VMEM((imgs * l, max(geo["cps"])), cat.dtype),  # ctx
+            pltpu.VMEM((imgs * l, 128), jnp.float32),       # rowsum recips
             # dqkv temp: f32, NOT the compute dtype — a bf16 d_scr measured
             # a net LOSS at 256px: XLA reacted to the leaner kernel by
             # colocating the call's ~50 MiB of dW outputs with the operand
