@@ -54,6 +54,11 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
                         "auto (tiles only when input exceeds train size)")
     p.add_argument("--tile-overlap", type=int, default=8,
                    help="LR-pixel overlap between serving tiles")
+    p.add_argument("--sweep-windows", type=int, default=0,
+                   help="cap the SSIM window sweep to N sizes (evenly "
+                        "subsampled); 0 = the reference's full 3..min-3 "
+                        "ladder (at 512px that is ~51 sizes whose compiled "
+                        "sweep graph takes tens of minutes to build)")
 
     if pre_args.config and os.path.isfile(pre_args.config):
         import yaml
@@ -120,7 +125,8 @@ def main(argv: Optional[List[str]] = None):
     result = evaluate_anomaly(exp, params, data_root, classe,
                               out_dir=out_dir, save_images=args.save_images,
                               batch=args.batch_size, tile=args.tile,
-                              tile_overlap=args.tile_overlap)
+                              tile_overlap=args.tile_overlap,
+                              sweep_windows=args.sweep_windows)
     if args.group_div and "filenames" in result:
         from adsr_tpu.eval.auc import roc_auc
         from adsr_tpu.eval.evaluate import grouped_max_scores

@@ -115,13 +115,21 @@ def evaluate_anomaly(exp: Experiment, params, data_root: str,
                      classe: str, out_dir: Optional[str] = None,
                      save_images: bool = True, batch: int = 8,
                      mesh=None, log=print, tile: int = 0,
-                     tile_overlap: int = 8) -> Dict[str, object]:
+                     tile_overlap: int = 8,
+                     sweep_windows: int = 0) -> Dict[str, object]:
     """Full anomaly pass over test/good + test/bad (evaluate.py:138-267).
 
     ``tile > 0`` forces overlapped-tile serving with that LR tile size;
     tile == 0 auto-enables it when the test LR exceeds the DRCT train size
     (the reference instead recompiles masks + clamps windows,
-    src/drct.py:426-429 — tiling avoids the full-size compile)."""
+    src/drct.py:426-429 — tiling avoids the full-size compile).
+
+    ``sweep_windows > 0`` caps the SSIM window sweep to that many sizes
+    (evenly subsampled from the reference's full 3..min_dim-3 ladder —
+    evaluate.py:233-236): at 512px HR the full ladder is ~51 window sizes
+    whose separable convs reach 509 taps, and the single compiled sweep
+    graph takes tens of minutes to build; 0 keeps exact reference
+    parity."""
     scale = max(exp.data.scale)
 
     def load(split: str) -> SRDataset:
@@ -175,7 +183,13 @@ def evaluate_anomaly(exp: Experiment, params, data_root: str,
         log("Test set lacks both classes; AUC not available")
         return {"error": "single-class"}
 
-    best_ws, _, per_ws = sweep_best_window(sr_u8, hr_u8, y_true)
+    cands = window_size_candidates(min(hr_u8.shape[1], hr_u8.shape[2]))
+    if sweep_windows and len(cands) > sweep_windows:
+        idx = np.linspace(0, len(cands) - 1, sweep_windows).round()
+        cands = [cands[int(i)] for i in idx]
+        log(f"Window sweep capped to {len(cands)} sizes: {cands}")
+    best_ws, _, per_ws = sweep_best_window(sr_u8, hr_u8, y_true,
+                                           window_sizes=cands)
 
     hr_f = jnp.asarray(hr_u8.astype(np.float32) / 255.0)
     sr_f = jnp.asarray(sr_u8.astype(np.float32) / 255.0)
