@@ -404,12 +404,18 @@ def _fwd_kernel(x_ref, dp_ref, *refs, h, w, win, imgs, cs, cps, nhs, shifts,
 
 def _bwd_kernel(dp_ref, cat_ref, g_ref, *refs, h, w, win, imgs, cs, cps,
                 nhs, shifts, c3ps, fps, cat_p, shift_plans, atypes,
-                pair_rolls, group, exp2):
+                pair_rolls, group, exp2, ks=(4, 3, 2, 1, 0),
+                dcat_in=False, emit_dx=True):
     """Per (image-group, RDG) backward, ``imgs`` images row-stacked like
-    the forward. refs =
-    5 x operand refs, then outputs:
-      dx_ref [imgs, L, c0p],
-      5 x (dwqkv, dwproj, dw1, dw2, dwadj, dbvec, dbadj, dattn)  (f32, accum)
+    the forward. ``ks`` is the descending tuple of block indices THIS call
+    walks (all five in the monolithic layout; a contiguous suffix/prefix
+    when the backward is SPLIT into two chained Pallas calls — see
+    _bwd_split). refs =
+    [dcat_in_ref  [imgs*L, cat_p] f32 — only when ``dcat_in``],
+    len(ks) x operand refs, then outputs:
+      dx_ref [imgs*L, c0p] (``emit_dx``) OR dcat_out [imgs*L, cat_p] f32,
+      len(ks) x (dwqkv, dwproj, dw1, dw2, dwadj, dbvec, dbadj, dattn)
+      (f32, accum)
     then scratches:
       dcat_scr [imgs*L, cat_p] f32, qkv_scr, win_scr f32, ctx_scr,
       rs_scr f32 (per-(row, head) softmax row-sum reciprocals),
@@ -424,12 +430,15 @@ def _bwd_kernel(dp_ref, cat_ref, g_ref, *refs, h, w, win, imgs, cs, cps,
     + exp sweep per tile. (A fully self-contained variant that also
     recomputes the row-sum was tried and reverted: 11% slower on the
     fwd+bwd chain for a 0.5 MiB saving.)"""
-    ops = refs[:5 * _OPS_PER_BLOCK]
-    outs = refs[5 * _OPS_PER_BLOCK:5 * _OPS_PER_BLOCK + 1 + 5 * 8]
-    dx_ref = outs[0]
+    nk = len(ks)
+    if dcat_in:
+        dcat_in_ref, refs = refs[0], refs[1:]
+    ops = refs[:nk * _OPS_PER_BLOCK]
+    outs = refs[nk * _OPS_PER_BLOCK:nk * _OPS_PER_BLOCK + 1 + nk * 8]
+    dx_ref = outs[0]              # dx (emit_dx) or the dcat hand-off
     douts = outs[1:]
     (dcat_scr, qkv_scr, win_scr, ctx_scr, rs_scr,
-     d_scr) = refs[5 * _OPS_PER_BLOCK + 1 + 5 * 8:]
+     d_scr) = refs[nk * _OPS_PER_BLOCK + 1 + nk * 8:]
     mm_dt = cat_ref.dtype
     n = win * win
     nw = (h // win) * (w // win)
@@ -445,14 +454,19 @@ def _bwd_kernel(dp_ref, cat_ref, g_ref, *refs, h, w, win, imgs, cs, cps,
             o[...] = jnp.zeros_like(o)
 
     # d_cat starts as d_out into the x_in columns (out = 0.2*adj4 + x_in)
-    dcat_scr[:, :] = jnp.zeros_like(dcat_scr)
+    # for the top call; a chained lower-half call resumes from the upper
+    # half's emitted dcat instead
+    if dcat_in:
+        dcat_scr[:, :] = dcat_in_ref[...]
+    else:
+        dcat_scr[:, :] = jnp.zeros_like(dcat_scr)
     g0 = g_ref[...].astype(jnp.float32)
 
-    for k in range(4, -1, -1):
+    for idx, k in enumerate(ks):
         (wqkv_ref, wproj_ref, w1_ref, w2_ref, wadj_ref, badj_ref,
-         bvec_ref, a_ref) = ops[_OPS_PER_BLOCK * k:_OPS_PER_BLOCK * (k + 1)]
+         bvec_ref, a_ref) = ops[_OPS_PER_BLOCK * idx:_OPS_PER_BLOCK * (idx + 1)]
         (dwqkv_o, dwproj_o, dw1_o, dw2_o, dwadj_o, dbvec_o, dbadj_o,
-         dattn_o) = douts[8 * k:8 * k + 8]
+         dattn_o) = douts[8 * idx:8 * idx + 8]
         c, c_p, nh = cs[k], cps[k], nhs[k]
         c3_p, f_p = c3ps[k], fps[k]
         hd = c // nh
@@ -690,12 +704,17 @@ def _bwd_kernel(dp_ref, cat_ref, g_ref, *refs, h, w, win, imgs, cs, cps,
             _per_image(imgs, scat)
             dcat_scr[:, :c_p] = dcat_scr[:, :c_p] + win_scr[:, :c_p]
 
-    # d_x = d_cat's x_in columns + the direct out residual; pad lanes zeroed
-    dx = dcat_scr[:, :c0p] + g0
-    c0 = cs[0]
-    mask0 = (lax.broadcasted_iota(jnp.int32, (1, c0p), 1) < c0) \
-        .astype(jnp.float32)
-    dx_ref[...] = (dx * mask0).astype(dx_ref.dtype)
+    if emit_dx:
+        # d_x = d_cat's x_in columns + the direct out residual; pad lanes
+        # zeroed
+        dx = dcat_scr[:, :c0p] + g0
+        c0 = cs[0]
+        mask0 = (lax.broadcasted_iota(jnp.int32, (1, c0p), 1) < c0) \
+            .astype(jnp.float32)
+        dx_ref[...] = (dx * mask0).astype(dx_ref.dtype)
+    else:
+        # hand the partial concat gradient to the chained lower-half call
+        dx_ref[...] = dcat_scr[...]
 
 
 # --------------------------------------------------------------------------- #
@@ -787,6 +806,25 @@ def _rdg_train_fwd(cfg_key, h, w, exp2, x, dp, *ops):
     return out, (dp, cat, ops)
 
 
+def _bwd_split(l: int):
+    """Block split for the backward: None = one monolithic Pallas call (the
+    layout validated through round 4 at L<=1024); a ((upper...), (lower...))
+    pair = TWO chained calls over block halves, passing the partial concat
+    gradient through HBM as f32. Splitting halves both the per-call dW
+    output residency (15.1 / 11.9 MiB at 256px vs 27 MiB monolithic) and
+    the operand staging — the structural fix for the L=4096 XLA buffer-
+    placement dead end (ARCHITECTURE.md "round-4 256px saga": every scoped-
+    vmem budget either overflowed the staging or colocated all dW outputs
+    into one unfittable frame) — at the cost of one dcat round trip
+    (~2 x 6 MiB/image at 256px ≈ 15 us/program of HBM traffic).
+    ADSR_TPU_TRAIN_BWD_SPLIT: auto (default; split above L=1024) / 1
+    (always — A/B at 128px) / 0 (never)."""
+    mode = os.environ.get("ADSR_TPU_TRAIN_BWD_SPLIT", "auto")
+    if mode == "0" or (mode == "auto" and l <= 1024):
+        return None
+    return ((4, 3), (2, 1, 0))
+
+
 def _rdg_train_bwd(cfg_key, h, w, exp2, res, g):
     dp, cat, ops = res
     cfg = _cfg_from_key(cfg_key)
@@ -799,60 +837,7 @@ def _rdg_train_bwd(cfg_key, h, w, exp2, res, g):
     fps = tuple(ops[_OPS_PER_BLOCK * k + 2].shape[1] for k in range(5))
 
     imgs = _train_imgs(b, l, bwd=True)
-    kernel = functools.partial(
-        _bwd_kernel, h=h, w=w, win=win, imgs=imgs, cs=geo["feats"],
-        cps=geo["cps"], nhs=geo["heads"], shifts=geo["shifts"], c3ps=c3ps,
-        fps=fps, cat_p=cat_p, shift_plans=plans, atypes=atypes,
-        pair_rolls=rolls,
-        group=group, exp2=exp2)
-    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    acc = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-
-    # outputs: dx per image; per-block f32 grad accumulators (constant
-    # index_map -> VMEM-resident, += across the sequential image-group grid)
-    out_shapes = [jax.ShapeDtypeStruct((b * l, c0p), cat.dtype)]
-    out_specs = [pl.BlockSpec((imgs * l, c0p), lambda i: (i, 0),
-                              memory_space=pltpu.VMEM)]
-    for kb in range(5):
-        for opx, name in ((0, "wqkv"), (1, "wproj"), (2, "w1"), (3, "w2"),
-                          (4, "wadj"), (6, "bvec"), (5, "badj"), (7, "attn")):
-            shp = ops[_OPS_PER_BLOCK * kb + opx].shape
-            out_shapes.append(jax.ShapeDtypeStruct(shp, jnp.float32))
-            out_specs.append(acc())
-
-    outs_call = pl.pallas_call(
-        kernel,
-        grid=(b // imgs,),
-        in_specs=[pl.BlockSpec((imgs, 1, 128), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((imgs * l, cat_p), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((imgs * l, c0p), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)]
-        + [vmem()] * len(ops),
-        out_specs=out_specs,
-        out_shape=out_shapes,
-        scratch_shapes=[
-            pltpu.VMEM((imgs * l, cat_p), jnp.float32),     # dcat
-            pltpu.VMEM((imgs * l, max(c3ps)), cat.dtype),   # qkv recompute
-            pltpu.VMEM((imgs * l, max(geo["cps"])),
-                       jnp.float32),                        # staging/gather
-            pltpu.VMEM((imgs * l, max(geo["cps"])), cat.dtype),  # ctx
-            pltpu.VMEM((imgs * l, 128), jnp.float32),       # rowsum recips
-            # dqkv temp: f32, NOT the compute dtype — a bf16 d_scr measured
-            # a net LOSS at 256px: XLA reacted to the leaner kernel by
-            # colocating the call's ~50 MiB of dW outputs with the operand
-            # staging in ONE stack frame, which can never fit the scoped
-            # limit (frame = limit + outputs for every limit value); the
-            # f32 scratch keeps the split-fusion structure whose staging
-            # (68.51 MiB) fits the 256px scoped budget
-            pltpu.VMEM((imgs * l, max(c3ps)), jnp.float32),  # dqkv temp
-        ],
-        compiler_params=(pltpu.CompilerParams(
-            vmem_limit_bytes=128 * 1024 * 1024)
-            if _HAS_PLTPU and not _INTERPRET else None),
-        interpret=_INTERPRET,
-    )
+    dp_arg = jnp.pad(dp, ((0, 0), (0, 128 - dp.shape[1])))[:, None, :]
     # Sum-shaped-cotangent guard: when dL/d(out) is a broadcast of ONE
     # scalar (a pure-sum loss — no shipped loss, but the 'w*NAME+…' spec
     # surface invites extensions), XLA builds the module around the custom
@@ -867,17 +852,99 @@ def _rdg_train_bwd(cfg_key, h, w, exp2, res, g):
     # step, measured in the round-4 full-step capture).
     gdense = g.reshape(b * l, c0p) + lax.optimization_barrier(
         jnp.zeros((b * l, c0p), cat.dtype)).astype(g.dtype)
-    outs = outs_call(
-        jnp.pad(dp, ((0, 0), (0, 128 - dp.shape[1])))[:, None, :], cat,
-        gdense, *ops)
 
-    dx = outs[0].reshape(b, l, c0p)
-    dops_raw = outs[1:]
+    def bwd_call(ks, dcat_arg, emit_dx):
+        """One backward Pallas call over the descending block tuple ``ks``;
+        operand/output lists carry only those blocks' tensors (the kernel
+        indexes them by position in ks order)."""
+        kernel = functools.partial(
+            _bwd_kernel, h=h, w=w, win=win, imgs=imgs, cs=geo["feats"],
+            cps=geo["cps"], nhs=geo["heads"], shifts=geo["shifts"],
+            c3ps=c3ps, fps=fps, cat_p=cat_p, shift_plans=plans,
+            atypes=atypes, pair_rolls=rolls, group=group, exp2=exp2,
+            ks=ks, dcat_in=dcat_arg is not None, emit_dx=emit_dx)
+        vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+        tok = lambda wdt: pl.BlockSpec((imgs * l, wdt), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM)
+        ops_k = []
+        for kb in ks:
+            ops_k += list(ops[_OPS_PER_BLOCK * kb:_OPS_PER_BLOCK * (kb + 1)])
+        in_specs = [pl.BlockSpec((imgs, 1, 128), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    tok(cat_p), tok(c0p)]
+        args = [dp_arg, cat, gdense]
+        if dcat_arg is not None:
+            in_specs.append(tok(cat_p))
+            args.append(dcat_arg)
+        in_specs += [vmem()] * len(ops_k)
+        args += ops_k
+        # first output: dx per image (bottom call) or the f32 dcat hand-off
+        # (top call); then per-block f32 grad accumulators (constant
+        # index_map -> VMEM-resident, += across the sequential grid)
+        if emit_dx:
+            out_shapes = [jax.ShapeDtypeStruct((b * l, c0p), cat.dtype)]
+            out_specs = [tok(c0p)]
+        else:
+            out_shapes = [jax.ShapeDtypeStruct((b * l, cat_p), jnp.float32)]
+            out_specs = [tok(cat_p)]
+        for kb in ks:
+            for opx in (0, 1, 2, 3, 4, 6, 5, 7):   # w*, bvec, badj, attn
+                shp = ops[_OPS_PER_BLOCK * kb + opx].shape
+                out_shapes.append(jax.ShapeDtypeStruct(shp, jnp.float32))
+                out_specs.append(vmem())
+        # scratch widths sized to THIS call's blocks (the lower half's
+        # c3/c maxima are smaller, shrinking its footprint further)
+        c3m = max(c3ps[kb] for kb in ks)
+        cpm = max(geo["cps"][kb] for kb in ks)
+        return pl.pallas_call(
+            kernel,
+            grid=(b // imgs,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            scratch_shapes=[
+                pltpu.VMEM((imgs * l, cat_p), jnp.float32),   # dcat
+                pltpu.VMEM((imgs * l, c3m), cat.dtype),       # qkv recompute
+                pltpu.VMEM((imgs * l, cpm), jnp.float32),     # staging/gather
+                pltpu.VMEM((imgs * l, cpm), cat.dtype),       # ctx
+                pltpu.VMEM((imgs * l, 128), jnp.float32),     # rowsum recips
+                # dqkv temp: f32, NOT the compute dtype — a bf16 d_scr
+                # measured a net LOSS at 256px: XLA reacted to the leaner
+                # kernel by colocating the call's dW outputs with the
+                # operand staging in ONE stack frame, which can never fit
+                # the scoped limit (frame = limit + outputs for every limit
+                # value); the f32 scratch keeps the split-fusion structure
+                pltpu.VMEM((imgs * l, c3m), jnp.float32),     # dqkv temp
+            ],
+            compiler_params=(pltpu.CompilerParams(
+                vmem_limit_bytes=128 * 1024 * 1024)
+                if _HAS_PLTPU and not _INTERPRET else None),
+            interpret=_INTERPRET,
+        )(*args)
+
+    split = _bwd_split(l)
+    per_block = {}
+    if split is None:
+        outs = bwd_call((4, 3, 2, 1, 0), None, True)
+        dx_flat = outs[0]
+        for i, kb in enumerate((4, 3, 2, 1, 0)):
+            per_block[kb] = outs[1 + 8 * i:1 + 8 * (i + 1)]
+    else:
+        upper, lower = split
+        outs_a = bwd_call(upper, None, False)
+        outs_b = bwd_call(lower, outs_a[0], True)
+        dx_flat = outs_b[0]
+        for i, kb in enumerate(upper):
+            per_block[kb] = outs_a[1 + 8 * i:1 + 8 * (i + 1)]
+        for i, kb in enumerate(lower):
+            per_block[kb] = outs_b[1 + 8 * i:1 + 8 * (i + 1)]
+
+    dx = dx_flat.reshape(b, l, c0p)
     # reorder back to (wqkv, wproj, w1, w2, wadj, badj, bvec, attn) and cast
     dops = []
     for kb in range(5):
         (dwqkv, dwproj, dw1, dw2, dwadj, dbvec, dbadj, dattn) = \
-            dops_raw[8 * kb:8 * kb + 8]
+            per_block[kb]
         blk_ops = ops[_OPS_PER_BLOCK * kb:_OPS_PER_BLOCK * (kb + 1)]
         ordered = (dwqkv, dwproj, dw1, dw2, dwadj, dbadj, dbvec, dattn)
         dops += [d.astype(o.dtype) for d, o in zip(ordered, blk_ops)]

@@ -37,6 +37,8 @@ from __future__ import annotations
 
 import functools
 import json
+import os
+import sys
 import time
 
 import jax
@@ -326,96 +328,122 @@ def bench_efficientad():
 
 
 def main() -> None:
+    """Deadline-proof staging (the round-4 capture was a timeout with ZERO
+    output): the headline serving JSON is printed (flushed) the moment it
+    exists, every later stage MERGES its keys and RE-prints the full line,
+    and each stage is skipped with a stderr warning when its estimated cost
+    would blow the wall-clock budget (ADSR_TPU_BENCH_BUDGET_S). Whatever
+    instant the driver's window closes, stdout already carries the best
+    JSON line measured so far — the driver parses the last one."""
     from adsr_tpu.core.config import drct_experiment
     from adsr_tpu.core.runtime import setup_compilation_cache
 
     setup_compilation_cache()
+    t0 = time.monotonic()
+    budget = float(os.environ.get("ADSR_TPU_BENCH_BUDGET_S", "1500"))
+    out: dict = {}
 
-    exp = drct_experiment(classe="grid", resolution=128, scale=4,
-                          precision="bf16")
-    imgs_per_sec, spread = bench_serving(exp)
-    try:
-        tflops = platform_tflops() if jax.default_backend() != "cpu" else None
-    except Exception:
-        tflops = None
+    def emit():
+        print(json.dumps(out), flush=True)
+
     def _warn(name, exc):
         # secondary metrics must not sink the headline, but their failure
         # must be VISIBLE (a silent except here once hid a DRN regression
         # for a full bench cycle) — stderr keeps the stdout JSON contract
-        import sys
         import traceback
         print(f"bench: {name} failed: {exc!r}", file=sys.stderr)
         traceback.print_exc(limit=3, file=sys.stderr)
 
-    try:
-        train_imgs, train_mfu = bench_train(exp)
-    except Exception as e:
-        train_imgs, train_mfu = None, None
-        _warn("bench_train", e)
-    try:
-        drn_serve, drn_train, drn_mfu = bench_drn()
-    except Exception as e:
-        drn_serve, drn_train, drn_mfu = None, None, None
-        _warn("bench_drn", e)
-    try:
-        ead_serve, ead_train, ead_mfu = bench_efficientad()
-    except Exception as e:
-        ead_serve, ead_train, ead_mfu = None, None, None
-        _warn("bench_efficientad", e)
-    try:
-        # the reference's best-AUC geometry (256px HR, window 16, N=256 —
-        # src/main.py:286) through the same fused serving path
-        exp256 = drct_experiment(classe="grid", resolution=256, scale=4,
-                                 precision="bf16")
-        drct256, _ = bench_serving(exp256, repeats=REPEATS_AUX, batch=8)
-    except Exception as e:
-        drct256 = None
-        _warn("bench_drct256", e)
-    try:
-        # round 4: the 256px geometry TRAINS on the fused custom-VJP
-        # kernels too (attention-term dedup + flash backward brought
-        # L=4096 inside v5e VMEM — ops/fused_rdg_train.py)
-        train256_imgs, train256_mfu = bench_train(
-            exp256, batch=8, fwd_flops=DRCT256_FWD_FLOPS)
-    except Exception as e:
-        train256_imgs, train256_mfu = None, None
-        _warn("bench_train256", e)
+    def stage(name, est_s, fn):
+        """Run one stage if the budget allows; merge its keys and re-emit."""
+        left = budget - (time.monotonic() - t0)
+        if left < est_s:
+            print(f"bench: SKIP {name} (est {est_s:.0f}s > {left:.0f}s "
+                  "left in budget)", file=sys.stderr, flush=True)
+            return
+        ts = time.monotonic()
+        try:
+            out.update(fn())
+        except Exception as e:
+            _warn(name, e)
+            return
+        print(f"bench: {name} done in {time.monotonic() - ts:.0f}s",
+              file=sys.stderr, flush=True)
+        emit()
 
-    out = {
+    exp = drct_experiment(classe="grid", resolution=128, scale=4,
+                          precision="bf16")
+    exp256 = drct_experiment(classe="grid", resolution=256, scale=4,
+                             precision="bf16")
+
+    # ---- headline (always attempted; everything else is best-effort) ----
+    imgs_per_sec, spread = bench_serving(exp)
+    out.update({
         "metric": f"DRCT x4 @128px HR inference (batch {BATCH}, bf16, "
                   "chained-scan)",
         "value": round(imgs_per_sec, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(imgs_per_sec / H100_REF_IMGS_PER_SEC, 3),
         "serving_spread_pct": round(spread * 100.0, 1),
-    }
-    if tflops is not None:
-        out["platform_tflops_8k_matmul"] = round(tflops, 1)
-    if train_imgs is not None:
-        out["train_imgs_per_sec"] = round(train_imgs, 2)
+    })
+    emit()
+
+    # ---- secondaries, cheapest compile first; est_s are cold-compile-
+    # inclusive hardware estimates (warm runs finish far faster) ----
+    def s_tflops():
+        if jax.default_backend() == "cpu":
+            return {}
+        return {"platform_tflops_8k_matmul": round(platform_tflops(), 1)}
+
+    def s_train():
+        train_imgs, train_mfu = bench_train(exp)
+        d = {"train_imgs_per_sec": round(train_imgs, 2)}
         if train_mfu is not None:
-            out["train_mfu_pct"] = round(train_mfu, 1)
-    if drn_serve is not None:
-        out["drn_imgs_per_sec"] = round(drn_serve, 2)
-        out["drn_vs_baseline"] = round(drn_serve / H100_REF_DRN, 3)
-        out["drn_train_imgs_per_sec"] = round(drn_train, 2)
-        out["drn_train_mfu_pct"] = round(drn_mfu, 1)
-    if ead_serve is not None:
-        out["ead_imgs_per_sec"] = round(ead_serve, 2)
+            d["train_mfu_pct"] = round(train_mfu, 1)
+        return d
+
+    def s_drn():
+        drn_serve, drn_train, drn_mfu = bench_drn()
+        return {"drn_imgs_per_sec": round(drn_serve, 2),
+                "drn_vs_baseline": round(drn_serve / H100_REF_DRN, 3),
+                "drn_train_imgs_per_sec": round(drn_train, 2),
+                "drn_train_mfu_pct": round(drn_mfu, 1)}
+
+    def s_ead():
+        ead_serve, ead_train, ead_mfu = bench_efficientad()
         # EfficientAD is compute-bound even in the reference's eager loop
         # (62 dispatches/forward), so this family's per-chip ratio tracks
         # the raw H100:v5e peak gap (5.0x) more than software quality —
         # the MFU keys are the meaningful efficiency statement
-        out["ead_vs_baseline"] = round(ead_serve / H100_REF_EAD, 3)
-        out["ead_train_imgs_per_sec"] = round(ead_train, 2)
-        out["ead_train_mfu_pct"] = round(ead_mfu, 1)
-    if drct256 is not None:
-        out["drct256_imgs_per_sec"] = round(drct256, 2)
-        out["drct256_vs_baseline"] = round(drct256 / H100_REF_DRCT256, 3)
-    if train256_imgs is not None:
-        out["train256_imgs_per_sec"] = round(train256_imgs, 2)
-        out["train256_mfu_pct"] = round(train256_mfu, 1)
-    print(json.dumps(out))
+        return {"ead_imgs_per_sec": round(ead_serve, 2),
+                "ead_vs_baseline": round(ead_serve / H100_REF_EAD, 3),
+                "ead_train_imgs_per_sec": round(ead_train, 2),
+                "ead_train_mfu_pct": round(ead_mfu, 1)}
+
+    def s_drct256():
+        # the reference's best-AUC geometry (256px HR, window 16, N=256 —
+        # src/main.py:286) through the same fused serving path
+        drct256, _ = bench_serving(exp256, repeats=REPEATS_AUX, batch=8)
+        return {"drct256_imgs_per_sec": round(drct256, 2),
+                "drct256_vs_baseline": round(drct256 / H100_REF_DRCT256, 3)}
+
+    def s_train256():
+        # the 256px geometry through the trainer's default path for it
+        # (fused custom-VJP if the geometry gate admits it, XLA+remat
+        # otherwise) — the known compile-pathological stage, so it runs
+        # LAST and cannot sink anything already printed
+        train256_imgs, train256_mfu = bench_train(
+            exp256, batch=8, fwd_flops=DRCT256_FWD_FLOPS)
+        return {"train256_imgs_per_sec": round(train256_imgs, 2),
+                "train256_mfu_pct": round(train256_mfu, 1)}
+
+    stage("platform_tflops", 45, s_tflops)
+    stage("train128", 240, s_train)
+    stage("drn", 180, s_drn)
+    stage("efficientad", 180, s_ead)
+    stage("drct256_serving", 300, s_drct256)
+    stage("train256", 420, s_train256)
+    emit()
 
 
 if __name__ == "__main__":

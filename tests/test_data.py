@@ -59,18 +59,13 @@ class TestChannels:
         img255 = np.full((4, 4, 3), 255, np.uint8)
         assert np.allclose(rgb_to_ycbcr_y(img255), 235.0, atol=0.01)
 
-    def test_matches_skimage(self):
-        skimage = pytest.importorskip("skimage.color")
-        img = np.random.RandomState(0).randint(0, 256, (8, 8, 3), np.uint8)
-        want = skimage.rgb2ycbcr(img)[:, :, 0]
-        got = rgb_to_ycbcr_y(img)
-        np.testing.assert_allclose(got, want, atol=1e-3)
-
     def test_matches_itu_oracle(self):
-        # skimage is absent in the TPU image (the test above skips there);
         # pin the luma transform against the ITU-R BT.601 definition
         # directly — the SAME formula skimage.color.rgb2ycbcr implements
-        # (Y' = 16 + (65.481 R + 128.553 G + 24.966 B), R/G/B in [0,1])
+        # (Y' = 16 + (65.481 R + 128.553 G + 24.966 B), R/G/B in [0,1]);
+        # skimage itself is absent in this image, so the definition IS the
+        # oracle (a skimage cross-check lived here through round 4 but had
+        # never executed anywhere — deleted as a dead skip)
         img = np.random.RandomState(0).randint(0, 256, (16, 16, 3), np.uint8)
         rgb = img.astype(np.float64) / 255.0
         want = (16.0 + 65.481 * rgb[..., 0] + 128.553 * rgb[..., 1]

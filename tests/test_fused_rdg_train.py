@@ -200,6 +200,41 @@ def test_train_grads_dedup_geometry_match_flax():
 
 
 @pytest.mark.slow
+def test_train_grads_split_backward_match_flax(monkeypatch):
+    # SPLIT backward (round 5): two chained Pallas calls over block halves
+    # (4,3)/(2,1,0), the partial dcat gradient handed through HBM as f32 —
+    # the structural fix for the L=4096 buffer-placement dead end. Auto
+    # mode only splits above L=1024 (too big for interpret CI), so force
+    # the split at the dedup geometry and require flax-parity gradients.
+    monkeypatch.setenv("ADSR_TPU_TRAIN_BWD_SPLIT", "1")
+    from adsr_tpu.ops.fused_rdg_train import _bwd_split
+    assert _bwd_split(144) == ((4, 3), (2, 1, 0))
+    model, params, x = _setup(CFG_DEDUP)
+    hr = jnp.asarray(np.random.RandomState(1).rand(*(
+        x.shape[0], x.shape[1] * CFG_DEDUP.upscale,
+        x.shape[2] * CFG_DEDUP.upscale, x.shape[3])) * 255, jnp.float32)
+
+    def loss_flax(p):
+        return jnp.mean(jnp.abs(model.apply({"params": p}, x) - hr))
+
+    def loss_fused(p):
+        sr = fused_drct_train_forward(p, CFG_DEDUP, x, deterministic=True,
+                                      dtype=jnp.float32)
+        return jnp.mean(jnp.abs(sr - hr))
+
+    lw, gw = jax.value_and_grad(loss_flax)(params)
+    lf, gf = jax.value_and_grad(loss_fused)(params)
+    np.testing.assert_allclose(float(lf), float(lw), rtol=1e-4)
+    flat_w = jax.tree_util.tree_leaves_with_path(gw)
+    flat_f = dict(jax.tree_util.tree_leaves_with_path(gf))
+    for path, leaf_w in flat_w:
+        a, b = np.asarray(leaf_w), np.asarray(flat_f[path])
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b, a, atol=2e-3 * scale, rtol=2e-2,
+                                   err_msg=jax.tree_util.keystr(path))
+
+
+@pytest.mark.slow
 def test_train_grads_rolled_pair_loops_match_flax(monkeypatch):
     # the 256px geometry (npair=16) rolls the per-pair attention loops into
     # lax.fori_loop with the ARITHMETIC pair->type lookup (_pair_roll_plan);
