@@ -80,6 +80,17 @@ def _inject_defect(rng: np.random.RandomState, img: np.ndarray,
         width = rng.randint(2, max(3, size // 24))
         img[:, x0:x0 + width] = np.clip(
             img[:, x0:x0 + width].astype(int) + 90, 0, 255)
+    elif kind == "faint":
+        # low-contrast blob (+-12..22 grey levels vs blob's 60..120): small
+        # enough to hide inside the texture's own speckle, so detectors
+        # cannot saturate AUC 1.0 on it — the separation axis for teacher-
+        # quality A/Bs (random vs scratch-distilled)
+        cy, cx = rng.randint(size // 4, 3 * size // 4, 2)
+        r = rng.randint(size // 12, size // 6)
+        y, x = np.ogrid[:size, :size]
+        m = (y - cy) ** 2 + (x - cx) ** 2 <= r ** 2
+        img[m] = np.clip(img[m].astype(int) + rng.choice([-1, 1])
+                         * rng.randint(12, 22), 0, 255)
     return img
 
 
@@ -88,10 +99,16 @@ def generate_synthetic_mvtec(root: str, classes: Sequence[str] = ("grid", "carpe
                              n_test_bad_per_defect: int = 3, size: int = 256,
                              seed: int = 0) -> None:
     """Write a synthetic MVTec-style source tree under ``root``."""
-    defects = {"grid": ("blob", "scratch"), "carpet": ("blob", "tear")}
+    defects = {"grid": ("blob", "scratch"), "carpet": ("blob", "tear"),
+               # 'hard' variants carry only the faint low-contrast defect —
+               # detectors do not saturate at AUC 1.0, so quality A/Bs
+               # (e.g. random vs scratch-distilled EfficientAD teacher)
+               # have a separation axis
+               "grid-hard": ("faint",), "carpet-hard": ("faint",)}
     for classe in classes:
         rng = np.random.RandomState(seed + hash(classe) % 1000)
-        tex = _grid_texture if classe == "grid" else _carpet_texture
+        tex = (_grid_texture if classe.startswith("grid")
+               else _carpet_texture)
 
         def save(img: np.ndarray, rel: str) -> None:
             p = Path(root) / classe / rel
