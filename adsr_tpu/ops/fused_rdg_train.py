@@ -405,7 +405,7 @@ def _fwd_kernel(x_ref, dp_ref, *refs, h, w, win, imgs, cs, cps, nhs, shifts,
 def _bwd_kernel(dp_ref, cat_ref, g_ref, *refs, h, w, win, imgs, cs, cps,
                 nhs, shifts, c3ps, fps, cat_p, shift_plans, atypes,
                 pair_rolls, group, exp2, ks=(4, 3, 2, 1, 0),
-                dcat_in=False, emit_dx=True):
+                dcat_in=False, emit_dx=True, lean=False):
     """Per (image-group, RDG) backward, ``imgs`` images row-stacked like
     the forward. ``ks`` is the descending tuple of block indices THIS call
     walks (all five in the monolithic layout; a contiguous suffix/prefix
@@ -457,7 +457,7 @@ def _bwd_kernel(dp_ref, cat_ref, g_ref, *refs, h, w, win, imgs, cs, cps,
     # for the top call; a chained lower-half call resumes from the upper
     # half's emitted dcat instead
     if dcat_in:
-        dcat_scr[:, :] = dcat_in_ref[...]
+        dcat_scr[:, :] = dcat_in_ref[...].astype(dcat_scr.dtype)
     else:
         dcat_scr[:, :] = jnp.zeros_like(dcat_scr)
     g0 = g_ref[...].astype(jnp.float32)
@@ -495,9 +495,20 @@ def _bwd_kernel(dp_ref, cat_ref, g_ref, *refs, h, w, win, imgs, cs, cps,
                         .astype(win_scr.dtype)
             _per_image(imgs, gather)
             x = win_scr[:, :c_p].astype(jnp.float32) * cmask
-        y1, inv1 = _ln_fwd(x, c)
-        qkv_scr[:, :c3_p] = (_mm(y1.astype(mm_dt), wqkv_ref[...])
-                             + bqkv).astype(qkv_scr.dtype)
+        if lean:
+            # keep only the LN stats live; y1 is rebuilt from a re-read of
+            # cat (bitwise: same inputs, same ops) after the attention grad
+            # loop frees the staging scratches — see the dwqkv section
+            mu1 = jnp.sum(x, axis=-1, keepdims=True) / c
+            var1 = (jnp.sum(x * x, axis=-1, keepdims=True) / c) - mu1 * mu1
+            inv1 = lax.rsqrt(var1 + 1e-6)
+            qkv_scr[:, :c3_p] = (_mm(((x - mu1) * inv1).astype(mm_dt),
+                                     wqkv_ref[...])
+                                 + bqkv).astype(qkv_scr.dtype)
+        else:
+            y1, inv1 = _ln_fwd(x, c)
+            qkv_scr[:, :c3_p] = (_mm(y1.astype(mm_dt), wqkv_ref[...])
+                                 + bqkv).astype(qkv_scr.dtype)
         ctx_scr[:, :c_p] = jnp.zeros_like(ctx_scr[:, :c_p])
         npair = nw // group
         use_vext = _vext_ok(c, nh, c3_p)
@@ -555,10 +566,28 @@ def _bwd_kernel(dp_ref, cat_ref, g_ref, *refs, h, w, win, imgs, cs, cps,
         _per_image(imgs, attn_rec)
         ctx = ctx_scr[:, :c_p].astype(mm_dt)
         x1 = x + m_attn * (_mm(ctx, wproj_ref[...]) + bproj)
-        y2, inv2 = _ln_fwd(x1, c)
-        pre = _mm(y2.astype(mm_dt), w1_ref[...]) + b1
-        hmid = _gelu_fwd(pre)
-        x2 = x1 + m_mlp * (_mm(hmid.astype(mm_dt), w2_ref[...]) + b2)
+        if lean:
+            # LEAN liveness mode (split calls, L=4096): the monolithic
+            # layout keeps y1/y2/hmid/x as whole-array live VALUES across
+            # the block — at L=4096 that is 6-10 MiB each and Mosaic's
+            # register allocator spills ~56 MiB of slots (the true
+            # round-4 OOM, masquerading as custom-call staging). Keep only
+            # the LN STATS ([L,1] each) live and rebuild y1/y2/hmid at
+            # their use sites from x1/pre — a sub+mul (or gelu) sweep per
+            # use, bitwise identical values.
+            mu2 = jnp.sum(x1, axis=-1, keepdims=True) / c
+            var2 = (jnp.sum(x1 * x1, axis=-1, keepdims=True) / c
+                    ) - mu2 * mu2
+            inv2 = lax.rsqrt(var2 + 1e-6)
+            y2v = lambda: (x1 - mu2) * inv2    # == _ln_fwd's xhat exactly
+            pre = _mm(y2v().astype(mm_dt), w1_ref[...]) + b1
+            x2 = x1 + m_mlp * (_mm(_gelu_fwd(pre).astype(mm_dt),
+                                   w2_ref[...]) + b2)
+        else:
+            y2, inv2 = _ln_fwd(x1, c)
+            pre = _mm(y2.astype(mm_dt), w1_ref[...]) + b1
+            hmid = _gelu_fwd(pre)
+            x2 = x1 + m_mlp * (_mm(hmid.astype(mm_dt), w2_ref[...]) + b2)
 
         # ---- gradient into this block's output x2 (via its adjust conv) ----
         if k == 4:
@@ -592,18 +621,29 @@ def _bwd_kernel(dp_ref, cat_ref, g_ref, *refs, h, w, win, imgs, cs, cps,
         # ---- MLP branch backward ----
         dmlp = m_mlp * d_x2
         dh = _mm_a_bt(dmlp.astype(mm_dt), w2_ref[...])
-        dw2_o[...] += _mm_at_b(hmid.astype(mm_dt), dmlp.astype(mm_dt))
+        if lean:
+            dw2_o[...] += _mm_at_b(_gelu_fwd(pre).astype(mm_dt),
+                                   dmlp.astype(mm_dt))
+        else:
+            dw2_o[...] += _mm_at_b(hmid.astype(mm_dt), dmlp.astype(mm_dt))
         db2 = jnp.sum(dmlp, axis=0, keepdims=True)
         dpre = dh * _gelu_grad(pre)
-        dw1_o[...] += _mm_at_b(y2.astype(mm_dt), dpre.astype(mm_dt))
+        if lean:
+            dw1_o[...] += _mm_at_b(y2v().astype(mm_dt), dpre.astype(mm_dt))
+        else:
+            dw1_o[...] += _mm_at_b(y2.astype(mm_dt), dpre.astype(mm_dt))
         db1 = jnp.sum(dpre, axis=0, keepdims=True)
         dy2 = _mm_a_bt(dpre.astype(mm_dt), w1_ref[...])
-        d_x1 = d_x2 + _ln_bwd(dy2, y2, inv2, c, cmask)
+        d_x1 = d_x2 + _ln_bwd(dy2, y2v() if lean else y2, inv2, c, cmask)
 
         # ---- attention branch backward ----
         dattn_br = m_attn * d_x1
         dctx = _mm_a_bt(dattn_br.astype(mm_dt), wproj_ref[...])
-        dwproj_o[...] += _mm_at_b(ctx, dattn_br.astype(mm_dt))
+        # lean: re-read ctx from its scratch (still intact) instead of
+        # keeping the whole-array value live since the x1 computation
+        dwproj_o[...] += _mm_at_b(
+            ctx_scr[:, :c_p].astype(mm_dt) if lean else ctx,
+            dattn_br.astype(mm_dt))
         dbproj = jnp.sum(dattn_br, axis=0, keepdims=True)
         # per-(image, pair, head) attention grads; dqkv assembled in d_scr.
         # dctx is staged in win_scr (free after the dadj gather) so the
@@ -673,6 +713,17 @@ def _bwd_kernel(dp_ref, cat_ref, g_ref, *refs, h, w, win, imgs, cs, cps,
 
         _per_image(imgs, attn_grad)
         dqkv = d_scr[:, :c3_p]
+        if lean:
+            # rebuild y1 from a fresh cat read (win_scr is free again —
+            # the attention grad loop consumed its dctx staging); the
+            # copies and LN ops are identical to the top-of-block ones,
+            # so the values are bitwise the recompute's
+            if plan is None:
+                xr = cat_ref[:, :c_p].astype(jnp.float32) * cmask
+            else:
+                _per_image(imgs, gather)
+                xr = win_scr[:, :c_p].astype(jnp.float32) * cmask
+            y1 = (xr - mu1) * inv1
         dwqkv_o[...] += _mm_at_b(y1.astype(mm_dt), dqkv.astype(mm_dt))
         dbqkv = jnp.sum(dqkv.astype(jnp.float32), axis=0, keepdims=True)
         dy1 = _mm_a_bt(dqkv.astype(mm_dt), wqkv_ref[...])
@@ -714,7 +765,7 @@ def _bwd_kernel(dp_ref, cat_ref, g_ref, *refs, h, w, win, imgs, cs, cps,
         dx_ref[...] = (dx * mask0).astype(dx_ref.dtype)
     else:
         # hand the partial concat gradient to the chained lower-half call
-        dx_ref[...] = dcat_scr[...]
+        dx_ref[...] = dcat_scr[...].astype(dx_ref.dtype)
 
 
 # --------------------------------------------------------------------------- #
@@ -857,12 +908,14 @@ def _rdg_train_bwd(cfg_key, h, w, exp2, res, g):
         """One backward Pallas call over the descending block tuple ``ks``;
         operand/output lists carry only those blocks' tensors (the kernel
         indexes them by position in ks order)."""
+        lean = len(ks) < 5   # split calls run the lean-liveness kernel
         kernel = functools.partial(
             _bwd_kernel, h=h, w=w, win=win, imgs=imgs, cs=geo["feats"],
             cps=geo["cps"], nhs=geo["heads"], shifts=geo["shifts"],
             c3ps=c3ps, fps=fps, cat_p=cat_p, shift_plans=plans,
             atypes=atypes, pair_rolls=rolls, group=group, exp2=exp2,
-            ks=ks, dcat_in=dcat_arg is not None, emit_dx=emit_dx)
+            ks=ks, dcat_in=dcat_arg is not None, emit_dx=emit_dx,
+            lean=lean)
         vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
         tok = lambda wdt: pl.BlockSpec((imgs * l, wdt), lambda i: (i, 0),
                                        memory_space=pltpu.VMEM)
@@ -885,7 +938,11 @@ def _rdg_train_bwd(cfg_key, h, w, exp2, res, g):
             out_shapes = [jax.ShapeDtypeStruct((b * l, c0p), cat.dtype)]
             out_specs = [tok(c0p)]
         else:
-            out_shapes = [jax.ShapeDtypeStruct((b * l, cat_p), jnp.float32)]
+            # the dcat hand-off rides HBM in the COMPUTE dtype (bf16 on
+            # hardware): a one-time rounding of the mid-chain activation
+            # cotangent — the same trade the bf16 dx output already makes —
+            # and it halves the hand-off's double-buffered VMEM windows
+            out_shapes = [jax.ShapeDtypeStruct((b * l, cat_p), cat.dtype)]
             out_specs = [tok(cat_p)]
         for kb in ks:
             for opx in (0, 1, 2, 3, 4, 6, 5, 7):   # w*, bvec, badj, attn
@@ -896,6 +953,13 @@ def _rdg_train_bwd(cfg_key, h, w, exp2, res, g):
         # c3/c maxima are smaller, shrinking its footprint further)
         c3m = max(c3ps[kb] for kb in ks)
         cpm = max(geo["cps"][kb] for kb in ks)
+        # lean (split) calls stage win_scr / d_scr in the COMPUTE dtype:
+        # every consumer casts to mm_dt anyway, x-staging matches the fwd
+        # kernel's precision, and at L=4096 the two f32 scratches would
+        # cost 11 MiB the VMEM budget does not have. The monolithic call
+        # keeps f32 — at L<=1024 the round-4 probes measured bf16 staging
+        # a net loss there (placement pathology + no memory pressure).
+        stage_dt = cat.dtype if lean else jnp.float32
         return pl.pallas_call(
             kernel,
             grid=(b // imgs,),
@@ -905,16 +969,10 @@ def _rdg_train_bwd(cfg_key, h, w, exp2, res, g):
             scratch_shapes=[
                 pltpu.VMEM((imgs * l, cat_p), jnp.float32),   # dcat
                 pltpu.VMEM((imgs * l, c3m), cat.dtype),       # qkv recompute
-                pltpu.VMEM((imgs * l, cpm), jnp.float32),     # staging/gather
+                pltpu.VMEM((imgs * l, cpm), stage_dt),        # staging/gather
                 pltpu.VMEM((imgs * l, cpm), cat.dtype),       # ctx
                 pltpu.VMEM((imgs * l, 128), jnp.float32),     # rowsum recips
-                # dqkv temp: f32, NOT the compute dtype — a bf16 d_scr
-                # measured a net LOSS at 256px: XLA reacted to the leaner
-                # kernel by colocating the call's dW outputs with the
-                # operand staging in ONE stack frame, which can never fit
-                # the scoped limit (frame = limit + outputs for every limit
-                # value); the f32 scratch keeps the split-fusion structure
-                pltpu.VMEM((imgs * l, c3m), jnp.float32),     # dqkv temp
+                pltpu.VMEM((imgs * l, c3m), stage_dt),        # dqkv temp
             ],
             compiler_params=(pltpu.CompilerParams(
                 vmem_limit_bytes=128 * 1024 * 1024)
