@@ -992,8 +992,19 @@ def _rdg_train_bwd(cfg_key, h, w, exp2, res, g):
         outs_a = bwd_call(upper, None, False)
         outs_b = bwd_call(lower, outs_a[0], True)
         dx_flat = outs_b[0]
+        # barrier the dW outputs: under the layer scan, the backward
+        # stacks per-layer weight grads into [num_layers, ...] cotangent
+        # buffers via dynamic-update-slice, and XLA fuses that DUS into
+        # the custom call's staging fusion — whose VMEM stack frame then
+        # holds the ENTIRE stacked tensor (72 MiB for block 3's dattn at
+        # L=4096: the "should not be possible to run out of scoped vmem"
+        # failure). The barrier forces the per-layer grads through HBM
+        # before the stacking machinery — one 27 MiB write the scan
+        # makes anyway.
+        outs_a = lax.optimization_barrier(tuple(outs_a[1:]))
+        outs_b = (outs_b[0],) + lax.optimization_barrier(tuple(outs_b[1:]))
         for i, kb in enumerate(upper):
-            per_block[kb] = outs_a[1 + 8 * i:1 + 8 * (i + 1)]
+            per_block[kb] = outs_a[8 * i:8 * (i + 1)]
         for i, kb in enumerate(lower):
             per_block[kb] = outs_b[1 + 8 * i:1 + 8 * (i + 1)]
 

@@ -128,24 +128,21 @@ class TrainStepBundle:
 
 def _fused_train_geom_ok(model) -> bool:
     """The fused backward kernel's scratches scale with L = img_size^2.
-    Round 4's attention-term dedup (ops/fused_rdg.py:_attn_pair_types),
-    rolled pair loops, and the self-contained flash score recompute (no
-    score scratch — the grad pass rebuilds each tile and its row-sum)
-    brought the L=4096 (256px/window-16, the reference's best-AUC
-    geometry — src/main.py:243-294) backward kernel itself inside v5e
-    VMEM (~50 MiB scratches + ~69.5 MiB custom-call staging < 128 MiB) —
-    but XLA's buffer placement cannot currently be coaxed into a legal
-    layout: every configuration either packs the operand staging past the
-    scoped limit or colocates the ~50 MiB of dW outputs into one stack
-    frame that can never fit (full probe log in ARCHITECTURE.md "round-4
-    256px saga"). Until a libtpu/XLA update, L > 1024 defaults to the
-    XLA+remat path; ADSR_TPU_FUSED_TRAIN_BIGL=1 opts the kernels back in
-    for retesting (interpret-mode 'force' has no VMEM and keeps the
-    kernels at any size)."""
+    L <= 1024 (the flagship 128px geometry) has run fused since round 3.
+    L = 4096 (256px/window-16, the reference's best-AUC geometry —
+    src/main.py:243-294) is admitted since round 5: the backward SPLITS
+    into two chained lean-liveness Pallas calls over block halves
+    (ops/fused_rdg_train.py:_bwd_split) — round 4's buffer-placement dead
+    end was really ~56 MiB of Mosaic register-spill slots from whole-array
+    live values, fixed by rebuilding y1/y2/gelu at their use sites —
+    measured 41.2 img/s / 24.9% MFU vs the XLA+remat fallback's
+    21.1 / 12.8% (v5e, batch 8, full 12-RDG scan). Beyond L=4096 the
+    XLA+remat path remains the default; ADSR_TPU_FUSED_TRAIN_BIGL=1 opts
+    larger geometries in for probing."""
     l = model.img_size * model.img_size
-    if l <= 1024:
+    if l <= 4096:
         return True
-    return l <= 4096 and os.environ.get("ADSR_TPU_FUSED_TRAIN_BIGL") == "1"
+    return os.environ.get("ADSR_TPU_FUSED_TRAIN_BIGL") == "1"
 
 
 def make_train_step(exp: Experiment, mesh=None,

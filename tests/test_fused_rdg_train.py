@@ -444,12 +444,11 @@ def test_train_forward_droppath_zero_branch():
 
 
 def test_fused_train_geometry_gate(monkeypatch):
-    # the fused train path defaults through L = img_size^2 = 1024; the
-    # L=4096 kernels pass interpret parity but XLA's buffer placement on
-    # v5e cannot currently host them (trainer._fused_train_geom_ok), so
-    # 4096 needs the ADSR_TPU_FUSED_TRAIN_BIGL=1 opt-in and anything
-    # bigger always falls back ('force' keeps the kernels for interpret
-    # tests; '1' respects the gate)
+    # the fused train path defaults through L = img_size^2 <= 4096 (the
+    # round-5 split lean backward hosts the 256px/window-16 geometry on
+    # v5e — trainer._fused_train_geom_ok); larger geometries need the
+    # ADSR_TPU_FUSED_TRAIN_BIGL=1 opt-in ('force' keeps the kernels for
+    # interpret tests; '1' respects the gate)
     import dataclasses
 
     from adsr_tpu.core.config import DataConfig, Experiment, OptimConfig
@@ -472,11 +471,12 @@ def test_fused_train_geometry_gate(monkeypatch):
     assert not bundle_for(128, "1").use_fused_train    # L=16384 > budget
     # the geometry rule itself (the '1' case above also fails the backend
     # check on CPU, so pin the rule directly)
+    monkeypatch.delenv("ADSR_TPU_FUSED_TRAIN_BIGL", raising=False)
     assert _fused_train_geom_ok(dataclasses.replace(CFG, img_size=32))
-    assert not _fused_train_geom_ok(dataclasses.replace(CFG, img_size=64))
-    monkeypatch.setenv("ADSR_TPU_FUSED_TRAIN_BIGL", "1")
     assert _fused_train_geom_ok(dataclasses.replace(CFG, img_size=64))
     assert not _fused_train_geom_ok(dataclasses.replace(CFG, img_size=128))
+    monkeypatch.setenv("ADSR_TPU_FUSED_TRAIN_BIGL", "1")
+    assert _fused_train_geom_ok(dataclasses.replace(CFG, img_size=128))
 
 
 def test_fused_train_step_matches_xla_step(monkeypatch):
