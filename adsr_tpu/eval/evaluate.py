@@ -188,6 +188,13 @@ def evaluate_anomaly(exp: Experiment, params, data_root: str,
         idx = np.linspace(0, len(cands) - 1, sweep_windows).round()
         cands = [cands[int(i)] for i in idx]
         log(f"Window sweep capped to {len(cands)} sizes: {cands}")
+    elif not sweep_windows and len(cands) > 16:
+        log(f"WARNING: the full reference window ladder has {len(cands)} "
+            "sizes at this image size; the single compiled sweep graph "
+            "over all of them can take tens of minutes to BUILD (measured "
+            ">20 min at 512px). Pass --sweep-windows 9 (or similar) to "
+            "subsample the ladder evenly — the best-window choice rarely "
+            "moves.")
     best_ws, _, per_ws = sweep_best_window(sr_u8, hr_u8, y_true,
                                            window_sizes=cands)
 

@@ -908,7 +908,12 @@ def _rdg_train_bwd(cfg_key, h, w, exp2, res, g):
         """One backward Pallas call over the descending block tuple ``ks``;
         operand/output lists carry only those blocks' tensors (the kernel
         indexes them by position in ks order)."""
-        lean = len(ks) < 5   # split calls run the lean-liveness kernel
+        # split calls run the lean-liveness kernel; ADSR_TPU_TRAIN_BWD_LEAN=1
+        # also opts the monolithic call in (A/B lever: lean shrinks the
+        # spill frame enough to admit bwd image-stacking WITHOUT the split's
+        # dcat round trip)
+        lean = (len(ks) < 5
+                or os.environ.get("ADSR_TPU_TRAIN_BWD_LEAN") == "1")
         kernel = functools.partial(
             _bwd_kernel, h=h, w=w, win=win, imgs=imgs, cs=geo["feats"],
             cps=geo["cps"], nhs=geo["heads"], shifts=geo["shifts"],
