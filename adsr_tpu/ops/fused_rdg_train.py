@@ -985,11 +985,27 @@ def _rdg_train_bwd(cfg_key, h, w, exp2, res, g):
             interpret=_INTERPRET,
         )(*args)
 
+    # dW-output barrier: under the layer scan, the backward stacks
+    # per-layer weight grads into [num_layers, ...] cotangent buffers via
+    # dynamic-update-slice, and XLA fuses that DUS into the custom call's
+    # staging fusion — whose VMEM stack frame then holds the ENTIRE
+    # stacked tensor (72 MiB for block 3's dattn at L=4096: the "should
+    # not be possible to run out of scoped vmem" failure; the lean
+    # monolith at L=1024/imgs=2 trips the same fusion 2.7 MiB over). The
+    # barrier forces the per-layer grads through HBM before the stacking
+    # machinery — a write the scan makes anyway. VMEM-pressured configs
+    # only: on the default 128px monolith (which fits) it measured a
+    # 1.3% gradonly cost, so the validated fast path keeps XLA's fusion.
+    need_barrier = (l > 1024
+                    or os.environ.get("ADSR_TPU_TRAIN_BWD_LEAN") == "1")
+    barrier = (lax.optimization_barrier if need_barrier
+               else (lambda t: t))
     split = _bwd_split(l)
     per_block = {}
     if split is None:
         outs = bwd_call((4, 3, 2, 1, 0), None, True)
         dx_flat = outs[0]
+        outs = (outs[0],) + barrier(tuple(outs[1:]))
         for i, kb in enumerate((4, 3, 2, 1, 0)):
             per_block[kb] = outs[1 + 8 * i:1 + 8 * (i + 1)]
     else:
@@ -997,17 +1013,8 @@ def _rdg_train_bwd(cfg_key, h, w, exp2, res, g):
         outs_a = bwd_call(upper, None, False)
         outs_b = bwd_call(lower, outs_a[0], True)
         dx_flat = outs_b[0]
-        # barrier the dW outputs: under the layer scan, the backward
-        # stacks per-layer weight grads into [num_layers, ...] cotangent
-        # buffers via dynamic-update-slice, and XLA fuses that DUS into
-        # the custom call's staging fusion — whose VMEM stack frame then
-        # holds the ENTIRE stacked tensor (72 MiB for block 3's dattn at
-        # L=4096: the "should not be possible to run out of scoped vmem"
-        # failure). The barrier forces the per-layer grads through HBM
-        # before the stacking machinery — one 27 MiB write the scan
-        # makes anyway.
-        outs_a = lax.optimization_barrier(tuple(outs_a[1:]))
-        outs_b = (outs_b[0],) + lax.optimization_barrier(tuple(outs_b[1:]))
+        outs_a = barrier(tuple(outs_a[1:]))
+        outs_b = (outs_b[0],) + barrier(tuple(outs_b[1:]))
         for i, kb in enumerate(upper):
             per_block[kb] = outs_a[8 * i:8 * (i + 1)]
         for i, kb in enumerate(lower):
