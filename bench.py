@@ -340,7 +340,10 @@ def main() -> None:
 
     setup_compilation_cache()
     t0 = time.monotonic()
-    budget = float(os.environ.get("ADSR_TPU_BENCH_BUDGET_S", "1500"))
+    # the budget only governs self-skipping of not-yet-started stages;
+    # because every completed stage has already re-printed the JSON line,
+    # an external kill mid-stage loses nothing — so err LARGE
+    budget = float(os.environ.get("ADSR_TPU_BENCH_BUDGET_S", "2400"))
     out: dict = {}
 
     def emit():
@@ -428,20 +431,31 @@ def main() -> None:
                 "drct256_vs_baseline": round(drct256 / H100_REF_DRCT256, 3)}
 
     def s_train256():
-        # the 256px geometry through the trainer's default path for it
-        # (fused custom-VJP if the geometry gate admits it, XLA+remat
-        # otherwise) — the known compile-pathological stage, so it runs
-        # LAST and cannot sink anything already printed
+        # the 256px geometry through the trainer's default path for it —
+        # since round 5 the fused custom-VJP split backward
+        # (ops/fused_rdg_train.py:_bwd_split; 41.2 img/s / 24.9% MFU vs
+        # the XLA+remat fallback's 21.1 / 12.8%)
         train256_imgs, train256_mfu = bench_train(
             exp256, batch=8, fwd_flops=DRCT256_FWD_FLOPS)
         return {"train256_imgs_per_sec": round(train256_imgs, 2),
                 "train256_mfu_pct": round(train256_mfu, 1)}
+
+    def s_drct512x8():
+        # BASELINE.md's best DRCT rows are x8 (grid 512/x8): serve the
+        # 512px-HR geometry (LR 64, window 16, 3-stage PixelShuffle)
+        # through the same fused path
+        from adsr_tpu.core.config import drct_experiment as _dx
+        exp512 = _dx(classe="grid", resolution=512, scale=8,
+                     precision="bf16")
+        v, _ = bench_serving(exp512, repeats=REPEATS_AUX, batch=8)
+        return {"drct512x8_imgs_per_sec": round(v, 2)}
 
     stage("platform_tflops", 45, s_tflops)
     stage("train128", 240, s_train)
     stage("drn", 180, s_drn)
     stage("efficientad", 180, s_ead)
     stage("drct256_serving", 300, s_drct256)
+    stage("drct512x8_serving", 300, s_drct512x8)
     stage("train256", 420, s_train256)
     emit()
 
