@@ -81,16 +81,18 @@ def _inject_defect(rng: np.random.RandomState, img: np.ndarray,
         img[:, x0:x0 + width] = np.clip(
             img[:, x0:x0 + width].astype(int) + 90, 0, 255)
     elif kind == "faint":
-        # low-contrast blob (+-12..22 grey levels vs blob's 60..120): small
-        # enough to hide inside the texture's own speckle, so detectors
-        # cannot saturate AUC 1.0 on it — the separation axis for teacher-
-        # quality A/Bs (random vs scratch-distilled)
+        # low-contrast SMALL blob (+-8..14 grey levels vs blob's 60..120,
+        # radius size/20..size/10 vs blob's /16../6): comparable to the
+        # texture's own speckle (sigma 6), so detectors cannot saturate
+        # AUC 1.0 on it — the separation axis for teacher-quality A/Bs
+        # (random vs scratch-distilled); EfficientAD-small with a random
+        # teacher still hit 1.0 at the earlier +-12..22 / r>=size/12 tune
         cy, cx = rng.randint(size // 4, 3 * size // 4, 2)
-        r = rng.randint(size // 12, size // 6)
+        r = rng.randint(size // 20, size // 10)
         y, x = np.ogrid[:size, :size]
         m = (y - cy) ** 2 + (x - cx) ** 2 <= r ** 2
         img[m] = np.clip(img[m].astype(int) + rng.choice([-1, 1])
-                         * rng.randint(12, 22), 0, 255)
+                         * rng.randint(8, 14), 0, 255)
     return img
 
 
